@@ -1,0 +1,42 @@
+"""Kernel library: the TPU-native replacement of the reference's DSP modules
+(/root/reference/src-tauri/src/modules/audio/) plus the north-star ops.
+
+Everything here is pure-functional jnp/Pallas code with static shapes, meant
+to be composed by :mod:`audioflow_tpu.graph` into one jitted XLA program.
+"""
+
+from . import biquad, dynamics, framing, mel, phase_vocoder, quantize, resample, stft, vad, windows
+from .biquad import (
+    Biquad,
+    allpass,
+    bandpass,
+    biquad_chain,
+    high_shelf,
+    highpass,
+    iir_apply,
+    low_shelf,
+    lowpass,
+    make_iir_plan,
+    notch,
+    peaking,
+)
+from .dynamics import (
+    compressor,
+    energy_to_dbfs,
+    gain_db,
+    limiter,
+    mean_square_energy,
+    peak_normalize,
+    rms_normalize,
+    to_mono,
+)
+from .framing import frame, num_frames, overlap_add
+from .mel import apply_mel, dct_matrix, log_mel, mel_filterbank, mfcc
+from .phase_vocoder import phase_vocoder, pitch_shift, time_stretch
+from .quantize import dequantize_i16, quantize_i16, quantize_i16_round
+from .resample import ResamplePlan, make_plan, resample, resample_apply
+from .stft import istft, magnitude, power, stft
+from .vad import VAD_LEVELS, VadCarry, VadConfig, is_speaking, vad_init, vad_scan, vad_step
+from .windows import get_window
+
+__all__ = [k for k in dir() if not k.startswith("_")]

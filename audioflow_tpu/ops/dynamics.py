@@ -1,0 +1,103 @@
+"""Gain, normalization, limiter, and channel ops.
+
+All ops are elementwise/reduction VPU work that XLA fuses into neighbors.
+The limiter's envelope follower — an inherently sequential recurrence — is
+recast as an associative max-plus scan in the log domain (O(log T) depth on
+TPU instead of a length-T serial loop); see :func:`envelope_peak_release`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def gain_db(x: jnp.ndarray, db: float | jnp.ndarray) -> jnp.ndarray:
+    return x * (10.0 ** (jnp.asarray(db, x.dtype) / 20.0))
+
+
+def to_mono(x: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """Average interleaved channels, parity with AudioFrame::to_mono
+    (/root/reference/src-tauri/src/modules/audio/capture.rs:30-42)."""
+    if channels == 1:
+        return x
+    t = x.shape[-1] // channels * channels
+    return x[..., :t].reshape(*x.shape[:-1], -1, channels).mean(axis=-1)
+
+
+def peak_normalize(x: jnp.ndarray, target_peak: float = 1.0, eps: float = 1e-9) -> jnp.ndarray:
+    peak = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    return x * (target_peak / jnp.maximum(peak, eps))
+
+
+def rms_normalize(x: jnp.ndarray, target_db: float = -20.0, eps: float = 1e-12) -> jnp.ndarray:
+    """Scale so RMS (true root-mean-square) hits ``target_db`` dBFS."""
+    rms = jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    target = 10.0 ** (target_db / 20.0)
+    return x * (target / jnp.maximum(rms, eps))
+
+
+def mean_square_energy(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Reference 'RMS' energy: mean of squares, *no sqrt*
+    (/root/reference/src-tauri/src/modules/audio/vad.rs:157-168)."""
+    return jnp.mean(x * x, axis=axis)
+
+
+def energy_to_dbfs(energy: jnp.ndarray) -> jnp.ndarray:
+    """20*log10(mean-square), -inf for <= 0 (vad.rs:171-176 parity)."""
+    return jnp.where(energy > 0.0, 20.0 * jnp.log10(jnp.maximum(energy, 1e-38)), -jnp.inf)
+
+
+def envelope_peak_release(x_abs: jnp.ndarray, release_coeff: float) -> jnp.ndarray:
+    """Instant-attack / exponential-release peak envelope.
+
+    Serial form: ``e[n] = max(|x[n]|, r * e[n-1])``. Because
+    ``e[n] = max_k |x[k]| * r^(n-k)``, in log space this is a running max of
+    ``log|x[k]| - k*log(r)`` — an associative cummax, which XLA parallelizes.
+    """
+    if not (0.0 < release_coeff < 1.0):
+        raise ValueError("release_coeff must be in (0, 1)")
+    log_r = float(np.log(release_coeff))
+    t = x_abs.shape[-1]
+    ramp = jnp.arange(t, dtype=x_abs.dtype) * (-log_r)
+    lx = jnp.log(jnp.maximum(x_abs, 1e-30)) + ramp
+    running = jax.lax.cummax(lx, axis=x_abs.ndim - 1)
+    return jnp.exp(running - ramp)
+
+
+def limiter(
+    x: jnp.ndarray,
+    threshold_db: float = -1.0,
+    release_ms: float = 50.0,
+    sample_rate: int = 16000,
+) -> jnp.ndarray:
+    """Hard peak limiter: gain = min(1, T/envelope), envelope as above."""
+    thresh = 10.0 ** (threshold_db / 20.0)
+    r = float(np.exp(-1.0 / (release_ms * 1e-3 * sample_rate)))
+    env = envelope_peak_release(jnp.abs(x), r)
+    g = jnp.minimum(1.0, thresh / jnp.maximum(env, 1e-30))
+    return x * g
+
+
+def compressor(
+    x: jnp.ndarray,
+    threshold_db: float = -20.0,
+    ratio: float = 4.0,
+    release_ms: float = 100.0,
+    sample_rate: int = 16000,
+    knee_db: float = 0.0,
+) -> jnp.ndarray:
+    """Downward compressor with the same associative envelope follower."""
+    r = float(np.exp(-1.0 / (release_ms * 1e-3 * sample_rate)))
+    env = envelope_peak_release(jnp.abs(x), r)
+    level_db = 20.0 * jnp.log10(jnp.maximum(env, 1e-30))
+    over = level_db - threshold_db
+    if knee_db > 0.0:
+        soft = jnp.square(jnp.clip(over + knee_db / 2, 0.0, knee_db)) / (2.0 * knee_db)
+        over = jnp.where(over > knee_db / 2, over, soft)
+    else:
+        over = jnp.maximum(over, 0.0)
+    gain_reduction_db = over * (1.0 / ratio - 1.0)
+    return x * 10.0 ** (gain_reduction_db / 20.0)

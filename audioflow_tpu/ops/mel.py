@@ -1,0 +1,122 @@
+"""Mel filterbank, log-mel features, and DCT/MFCC.
+
+The filterbank matrix is built host-side in float64 and baked into the graph
+as an ``[n_freqs, n_mels]`` constant, so the mel projection is a single
+``[frames, freqs] @ [freqs, mels]`` matmul — exactly the shape the MXU wants
+(``preferred_element_type=float32`` keeps the accumulation in f32 even under
+bf16 inputs). Supports HTK and Slaney mel scales and Slaney area
+normalization, matching the conventions of librosa/torchaudio so outputs are
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ._mm import mm
+
+
+def hz_to_mel(f, htk: bool = False):
+    f = np.asarray(f, dtype=np.float64)
+    if htk:
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    # Slaney: linear below 1 kHz, log above
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (f - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    above = f >= min_log_hz
+    mels = np.where(above, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, mels)
+    return mels
+
+
+def mel_to_hz(m, htk: bool = False):
+    m = np.asarray(m, dtype=np.float64)
+    if htk:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * m
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    above = m >= min_log_mel
+    return np.where(above, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+
+
+def mel_filterbank(
+    n_freqs: int,
+    n_mels: int = 128,
+    sample_rate: int = 16000,
+    f_min: float = 0.0,
+    f_max: float | None = None,
+    htk: bool = False,
+    norm: str | None = "slaney",
+    dtype=np.float32,
+) -> np.ndarray:
+    """Triangular mel filterbank, shape ``[n_freqs, n_mels]`` (matmul-ready)."""
+    f_max = f_max if f_max is not None else sample_rate / 2.0
+    n_fft = 2 * (n_freqs - 1)
+    fft_freqs = np.arange(n_freqs, dtype=np.float64) * sample_rate / n_fft
+    mel_pts = np.linspace(hz_to_mel(f_min, htk), hz_to_mel(f_max, htk), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts, htk)
+
+    # vectorized triangle construction
+    lower = hz_pts[:-2][None, :]  # [1, n_mels]
+    center = hz_pts[1:-1][None, :]
+    upper = hz_pts[2:][None, :]
+    f = fft_freqs[:, None]  # [n_freqs, 1]
+    up = (f - lower) / np.maximum(center - lower, 1e-10)
+    down = (upper - f) / np.maximum(upper - center, 1e-10)
+    fb = np.maximum(0.0, np.minimum(up, down))
+
+    if norm == "slaney":
+        enorm = 2.0 / (hz_pts[2:] - hz_pts[:-2])
+        fb *= enorm[None, :]
+    elif norm not in (None, "none"):
+        raise ValueError(f"unknown mel norm {norm!r}")
+    return fb.astype(dtype)
+
+
+def apply_mel(spec_power: jnp.ndarray, fb: jnp.ndarray) -> jnp.ndarray:
+    """Project a power/magnitude spectrogram ``[..., frames, freqs]`` onto mel bins.
+
+    One MXU matmul; f32 accumulation regardless of input dtype.
+    """
+    return mm(spec_power, jnp.asarray(fb))
+
+
+def log_mel(
+    spec_power: jnp.ndarray,
+    fb: jnp.ndarray,
+    floor: float = 1e-10,
+    log_base: str = "ln",
+) -> jnp.ndarray:
+    """log(max(mel, floor)) — 'ln' (natural), 'log10', or 'db' (10*log10)."""
+    m = jnp.maximum(apply_mel(spec_power, fb), floor)
+    if log_base == "ln":
+        return jnp.log(m)
+    if log_base == "log10":
+        return jnp.log10(m)
+    if log_base == "db":
+        return 10.0 * jnp.log10(m)
+    raise ValueError(f"unknown log_base {log_base!r}")
+
+
+def dct_matrix(n_in: int, n_out: int, norm: str | None = "ortho", dtype=np.float32) -> np.ndarray:
+    """DCT-II basis ``[n_in, n_out]`` for MFCC as a matmul."""
+    k = np.arange(n_out, dtype=np.float64)[None, :]
+    n = np.arange(n_in, dtype=np.float64)[:, None]
+    basis = 2.0 * np.cos(np.pi * k * (2.0 * n + 1.0) / (2.0 * n_in))
+    if norm == "ortho":
+        basis[:, 0] *= 1.0 / np.sqrt(4.0 * n_in)
+        basis[:, 1:] *= 1.0 / np.sqrt(2.0 * n_in)
+    return basis.astype(dtype)
+
+
+def mfcc(log_mels: jnp.ndarray, n_mfcc: int = 13) -> jnp.ndarray:
+    """MFCC from log-mel features: one more matmul (DCT-II, ortho)."""
+    d = dct_matrix(log_mels.shape[-1], n_mfcc)
+    return mm(log_mels, jnp.asarray(d))

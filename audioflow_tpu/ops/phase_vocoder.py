@@ -1,0 +1,96 @@
+"""Phase-vocoder time-stretch and pitch-shift (north-star config 4).
+
+TPU notes: the classic serial phase-accumulation loop is a prefix sum — the
+per-output-frame phase increments (expected advance + wrapped deviation) are
+computed in parallel and combined with one ``cumsum``, so the whole vocoder is
+gather + elementwise + cumsum + ISTFT, all XLA-fusable with static shapes
+(the stretch ``rate`` is a trace-time constant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..utils import cdiv
+from .resample import resample
+from .stft import istft, stft
+
+
+def _wrap_phase(p: jnp.ndarray) -> jnp.ndarray:
+    """Wrap to [-pi, pi)."""
+    two_pi = 2.0 * np.pi
+    return p - two_pi * jnp.round(p / two_pi)
+
+
+def phase_vocoder(spec: jnp.ndarray, rate: float, hop: int, n_fft: int) -> jnp.ndarray:
+    """Stretch a complex spectrogram ``[..., T, F]`` in time by ``1/rate``.
+
+    rate > 1 speeds up (fewer output frames); rate < 1 slows down.
+    """
+    t_in = spec.shape[-2]
+    steps = np.arange(0, t_in, rate)  # fractional analysis positions
+    lo = np.minimum(steps.astype(np.int64), t_in - 1)
+    hi = np.minimum(lo + 1, t_in - 1)
+    frac = jnp.asarray((steps - lo).astype(np.float32))[..., None]
+
+    s_lo = spec[..., lo, :]
+    s_hi = spec[..., hi, :]
+    mag = (1.0 - frac) * jnp.abs(s_lo) + frac * jnp.abs(s_hi)
+
+    # expected per-hop phase advance of each bin
+    n_bins = spec.shape[-1]
+    phi_adv = jnp.asarray(
+        (2.0 * np.pi * hop / n_fft) * np.arange(n_bins, dtype=np.float32)
+    )
+    dphase = _wrap_phase(jnp.angle(s_hi) - jnp.angle(s_lo) - phi_adv)
+    increments = phi_adv + dphase  # [..., T_out, F]
+
+    phase0 = jnp.angle(s_lo[..., :1, :])
+    phase = phase0 + jnp.concatenate(
+        [jnp.zeros_like(increments[..., :1, :]), jnp.cumsum(increments[..., :-1, :], axis=-2)],
+        axis=-2,
+    )
+    return mag * jnp.exp(1j * phase)
+
+
+def time_stretch(
+    x: jnp.ndarray,
+    rate: float,
+    n_fft: int = 1024,
+    hop: int = 256,
+    window: str = "hann",
+) -> jnp.ndarray:
+    """Stretch audio duration by 1/rate at constant pitch (ISTFT round-trip)."""
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    spec = stft(x, n_fft=n_fft, hop=hop, window=window)
+    out = phase_vocoder(spec, rate, hop, n_fft)
+    length = int(round(x.shape[-1] / rate))
+    return istft(out, n_fft=n_fft, hop=hop, window=window, length=length)
+
+
+def pitch_shift(
+    x: jnp.ndarray,
+    semitones: float,
+    sample_rate: int = 16000,
+    n_fft: int = 1024,
+    hop: int = 256,
+    resample_mode: str = "kaiser",
+) -> jnp.ndarray:
+    """Shift pitch by ``semitones`` at constant duration: stretch then resample.
+
+    The resample step reuses the polyphase-matmul kernel with the rational
+    approximation of 2^(semitones/12).
+    """
+    factor = 2.0 ** (semitones / 12.0)
+    stretched = time_stretch(x, rate=1.0 / factor, n_fft=n_fft, hop=hop)
+    # resample stretched (duration *factor) back to original length
+    new_rate = max(1, int(round(sample_rate * factor)))
+    y = resample(stretched, new_rate, sample_rate, mode=resample_mode)
+    t = x.shape[-1]
+    if y.shape[-1] < t:
+        pads = [(0, 0)] * (y.ndim - 1) + [(0, t - y.shape[-1])]
+        y = jnp.pad(y, pads)
+    return y[..., :t]

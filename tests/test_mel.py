@@ -1,0 +1,76 @@
+import numpy as np
+import pytest
+import scipy.fft
+
+import jax.numpy as jnp
+
+from audioflow_tpu.ops import apply_mel, dct_matrix, log_mel, mel_filterbank, mfcc
+from audioflow_tpu.ops.mel import hz_to_mel, mel_to_hz
+
+
+def test_mel_hz_round_trip():
+    f = np.linspace(0, 8000, 100)
+    for htk in (False, True):
+        np.testing.assert_allclose(mel_to_hz(hz_to_mel(f, htk), htk), f, rtol=1e-10, atol=1e-6)
+
+
+def test_hz_to_mel_htk_known_value():
+    # 1000 Hz -> 2595*log10(1 + 1000/700) ≈ 999.9855
+    np.testing.assert_allclose(hz_to_mel(1000.0, htk=True), 999.9855, atol=1e-3)
+
+
+def _fb_oracle(n_freqs, n_mels, sr, fmin, fmax, htk, norm):
+    """Loop-based independent filterbank construction."""
+    n_fft = 2 * (n_freqs - 1)
+    freqs = np.arange(n_freqs) * sr / n_fft
+    pts = mel_to_hz(np.linspace(hz_to_mel(fmin, htk), hz_to_mel(fmax, htk), n_mels + 2), htk)
+    fb = np.zeros((n_freqs, n_mels))
+    for m in range(n_mels):
+        lo, c, hi = pts[m], pts[m + 1], pts[m + 2]
+        for k, f in enumerate(freqs):
+            if lo <= f <= c and c > lo:
+                fb[k, m] = (f - lo) / (c - lo)
+            elif c < f <= hi and hi > c:
+                fb[k, m] = (hi - f) / (hi - c)
+        if norm == "slaney":
+            fb[:, m] *= 2.0 / (hi - lo)
+    return fb
+
+
+@pytest.mark.parametrize("htk,norm", [(False, "slaney"), (True, None), (False, None)])
+def test_filterbank_matches_oracle(htk, norm):
+    got = mel_filterbank(513, 40, 16000, 50.0, 7600.0, htk=htk, norm=norm, dtype=np.float64)
+    want = _fb_oracle(513, 40, 16000, 50.0, 7600.0, htk, norm)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_filterbank_coverage():
+    fb = mel_filterbank(513, 128, 16000, norm=None)
+    # every interior frequency bin is covered by at least one filter
+    covered = fb.sum(axis=1)
+    assert (covered[5:-5] > 0).all()
+    assert fb.shape == (513, 128)
+
+
+def test_apply_mel_and_log(rng):
+    spec = jnp.asarray(rng.random((7, 513)).astype(np.float32))
+    fb = mel_filterbank(513, 64, 16000)
+    m = np.asarray(apply_mel(spec, fb))
+    want = np.asarray(spec) @ fb
+    np.testing.assert_allclose(m, want, rtol=2e-5, atol=1e-6)
+    lm = np.asarray(log_mel(spec, fb, floor=1e-10, log_base="ln"))
+    np.testing.assert_allclose(lm, np.log(np.maximum(want, 1e-10)), rtol=1e-4, atol=1e-4)
+
+
+def test_dct_matches_scipy(rng):
+    x = rng.standard_normal((5, 40))
+    d = dct_matrix(40, 40, norm="ortho", dtype=np.float64)
+    got = x @ d
+    want = scipy.fft.dct(x, type=2, axis=-1, norm="ortho")
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_mfcc_shape(rng):
+    lm = jnp.asarray(rng.standard_normal((9, 40)).astype(np.float32))
+    out = mfcc(lm, n_mfcc=13)
+    assert out.shape == (9, 13)

@@ -1,0 +1,111 @@
+import numpy as np
+import pytest
+import scipy.signal
+
+import jax.numpy as jnp
+
+from audioflow_tpu.ops import make_plan, resample, resample_apply
+from audioflow_tpu.ops.resample import cubic_lagrange_bank, kaiser_sinc_bank
+from audioflow_tpu.utils import cdiv, rational_rate
+
+
+def _prototype_from_bank(bank, up):
+    """Reconstruct the odd-length prototype h_full from the polyphase bank."""
+    k = bank.shape[1]
+    h = np.zeros(k * up)
+    for p in range(up):
+        for t in range(k):
+            h[(k - 1 - t) * up + p] = bank[p, t]
+    # strip trailing structural zeros down to odd length 2*half*up+1
+    n_total = 2 * ((k - 1) // 2) * up + 1
+    return h[:n_total]
+
+
+@pytest.mark.parametrize("in_rate,out_rate", [(48000, 16000), (44100, 16000), (16000, 48000), (22050, 16000)])
+def test_kaiser_matches_scipy_resample_poly(rng, in_rate, out_rate):
+    up, down = rational_rate(in_rate, out_rate)
+    x = rng.standard_normal(8192).astype(np.float64)
+    bank = kaiser_sinc_bank(up, down, half_width=16)
+    h_full = _prototype_from_bank(bank, up)
+    # scipy multiplies an array window by `up` internally; our bank already
+    # carries the zero-stuffing gain, so divide it out for the oracle call
+    want = scipy.signal.resample_poly(x, up, down, window=h_full / up)
+    got = np.asarray(resample(jnp.asarray(x, jnp.float32), in_rate, out_rate, mode="kaiser"))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_passthrough_same_rate(rng):
+    x = jnp.asarray(rng.standard_normal(100).astype(np.float32))
+    y = resample(x, 16000, 16000)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_sine_fidelity_44k_to_16k():
+    """A bandlimited tone must survive resampling with correct frequency/amplitude."""
+    f0, in_rate, out_rate = 1000.0, 44100, 16000
+    t_in = np.arange(44100 * 2) / in_rate
+    x = np.sin(2 * np.pi * f0 * t_in).astype(np.float32)
+    y = np.asarray(resample(jnp.asarray(x), in_rate, out_rate, mode="kaiser"))
+    t_out = np.arange(len(y)) / out_rate
+    want = np.sin(2 * np.pi * f0 * t_out)
+    # ignore filter edge transients
+    m = 200
+    np.testing.assert_allclose(y[m:-m], want[m : len(y) - m], atol=2e-3)
+
+
+def _cubic_oracle(x, up, down, n_out):
+    """Serial float64 cubic-Lagrange resampler: the rubato interp_cubic polynomial."""
+    y = np.zeros(n_out)
+    xp = np.pad(x.astype(np.float64), (1, 4))
+    for n in range(n_out):
+        q, p = divmod(n * down, up)
+        f = p / up
+        y0, y1, y2, y3 = xp[q : q + 4]  # x[q-1 : q+3] in original coords
+        a0 = y1
+        a1 = -y0 / 3.0 - y1 / 2.0 + y2 - y3 / 6.0
+        a2 = (y0 + y2) / 2.0 - y1
+        a3 = (y1 - y2) / 2.0 + (y3 - y0) / 6.0
+        y[n] = ((a3 * f + a2) * f + a1) * f + a0
+    return y
+
+
+@pytest.mark.parametrize("in_rate,out_rate", [(48000, 16000), (44100, 16000), (16000, 24000)])
+def test_cubic_matches_serial_oracle(rng, in_rate, out_rate):
+    up, down = rational_rate(in_rate, out_rate)
+    x = rng.standard_normal(2048).astype(np.float32)
+    got = np.asarray(resample(jnp.asarray(x), in_rate, out_rate, mode="cubic"))
+    want = _cubic_oracle(x, up, down, cdiv(2048 * up, down))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_cubic_bank_interpolates_exactly():
+    """At f=0 the bank must return y1; Lagrange property: exact on cubics."""
+    bank = cubic_lagrange_bank(8)
+    np.testing.assert_allclose(bank[0], [0, 1, 0, 0], atol=1e-15)
+    # cubic polynomial through points p(-1..2), check interpolation at f=3/8
+    coeffs = np.array([0.3, -1.2, 0.5, 2.0])
+    pts = np.polyval(coeffs, np.array([-1.0, 0.0, 1.0, 2.0]))
+    got = bank[3] @ pts
+    np.testing.assert_allclose(got, np.polyval(coeffs, 3 / 8), atol=1e-12)
+
+
+def test_batched_resample(rng):
+    x = rng.standard_normal((4, 3000)).astype(np.float32)
+    y = np.asarray(resample(jnp.asarray(x), 48000, 16000))
+    assert y.shape == (4, 1000)
+    y0 = np.asarray(resample(jnp.asarray(x[0]), 48000, 16000))
+    np.testing.assert_allclose(y[0], y0, atol=1e-6)
+
+
+def test_plan_cached():
+    p1 = make_plan(48000, 16000, "kaiser")
+    p2 = make_plan(48000, 16000, "kaiser")
+    assert p1 is p2
+
+
+def test_resample_apply_explicit_n_out(rng):
+    x = jnp.asarray(rng.standard_normal(1000).astype(np.float32))
+    plan = make_plan(48000, 16000, "cubic")
+    y = resample_apply(x, plan, n_out=100)
+    assert y.shape == (100,)

@@ -1,0 +1,68 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audioflow_tpu.ops import istft, magnitude, power, stft
+from audioflow_tpu.ops.framing import num_frames
+from audioflow_tpu.ops.windows import get_window
+
+
+def _stft_oracle(x, n_fft, hop, center=True):
+    """Independent float64 numpy STFT with the same conventions."""
+    w = get_window("hann", n_fft, periodic=True)
+    if center:
+        x = np.pad(x, n_fft // 2, mode="reflect")
+    n = num_frames(len(x), n_fft, hop)
+    out = np.empty((n, n_fft // 2 + 1), dtype=np.complex128)
+    for i in range(n):
+        out[i] = np.fft.rfft(x[i * hop : i * hop + n_fft] * w)
+    return out
+
+
+@pytest.mark.parametrize("center", [True, False])
+def test_stft_matches_oracle(rng, center):
+    x = rng.standard_normal(4096).astype(np.float32)
+    got = np.asarray(stft(jnp.asarray(x), n_fft=1024, hop=256, center=center))
+    want = _stft_oracle(x.astype(np.float64), 1024, 256, center)
+    assert got.shape == want.shape
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-4 * scale)
+
+
+def test_stft_batched_shape(rng):
+    x = rng.standard_normal((4, 4096)).astype(np.float32)
+    got = stft(jnp.asarray(x), n_fft=512, hop=128)
+    assert got.shape == (4, 4096 // 128 + 1, 257)
+
+
+def test_magnitude_power(rng):
+    x = rng.standard_normal(2048).astype(np.float32)
+    spec = stft(jnp.asarray(x), n_fft=512, hop=128)
+    np.testing.assert_allclose(
+        np.asarray(power(spec)), np.asarray(magnitude(spec)) ** 2, rtol=2e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("n_fft,hop", [(1024, 256), (512, 128), (400, 100)])
+def test_istft_round_trip(rng, n_fft, hop):
+    t = 8192
+    x = rng.standard_normal(t).astype(np.float32) * 0.5
+    spec = stft(jnp.asarray(x), n_fft=n_fft, hop=hop)
+    y = np.asarray(istft(spec, n_fft=n_fft, hop=hop, length=t))
+    # edges lose window coverage; compare interior
+    m = n_fft
+    np.testing.assert_allclose(y[m:-m], x[m:-m], atol=1e-4)
+
+
+def test_istft_round_trip_batched(rng):
+    x = rng.standard_normal((3, 4096)).astype(np.float32)
+    spec = stft(jnp.asarray(x), n_fft=512, hop=128)
+    y = np.asarray(istft(spec, n_fft=512, hop=128, length=4096))
+    np.testing.assert_allclose(y[:, 512:-512], x[:, 512:-512], atol=1e-4)
+
+
+def test_win_length_padding(rng):
+    x = rng.standard_normal(4096).astype(np.float32)
+    spec = stft(jnp.asarray(x), n_fft=1024, hop=256, win_length=512)
+    assert spec.shape[-1] == 513
