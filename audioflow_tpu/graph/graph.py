@@ -1,0 +1,262 @@
+"""The flow-graph: a chain of nodes compiled to ONE jitted XLA program.
+
+This is the framework's core API (the TPU re-design of the reference's L3
+command surface, SURVEY §1): where the reference chains per-module Rust calls
+(capture -> BatchResampler -> VAD -> encode, SURVEY §3.3), a Graph traces the
+whole node chain once and hands XLA a single program to fuse, tile onto the
+MXU, and (with shardings, see :mod:`audioflow_tpu.parallel`) partition over a
+device mesh.
+
+Two execution modes:
+
+* ``compile()`` — offline: ``fn(batch [..., T]) -> features``; one program,
+  one device dispatch per batch.
+* ``compile_stream(chunk_in)`` — streaming: fixed-shape ``step(state, chunk)``
+  with an explicit carry pytree (the checkpoint format); ``scan_stream``
+  wraps the same step in ``lax.scan`` so arbitrarily long audio runs in
+  constant HBM inside a single program (SURVEY §5.7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..errors import AudioError, ConfigError, ErrorCode
+from .nodes import Node
+
+_DOMAIN_OK = {("samples", "samples"), ("frames", "frames"), ("any", "any")}
+
+
+def _domains_compatible(out_d: str, in_d: str) -> bool:
+    return out_d == in_d or "any" in (out_d, in_d)
+
+
+@dataclass(frozen=True)
+class Graph:
+    """An immutable chain of nodes with rate/domain metadata resolved."""
+
+    nodes: tuple[Node, ...]
+    input_rate: int | None = None
+    name: str = "graph"
+    output_rate: int | None = field(init=False, default=None)
+
+    def __post_init__(self):
+        if not self.nodes:
+            raise ConfigError("graph needs at least one node")
+        bound = []
+        rate = self.input_rate
+        domain = "samples"
+        for i, node in enumerate(self.nodes):
+            if not _domains_compatible(domain, node.domain_in):
+                raise ConfigError(
+                    f"node {i} ({type(node).__name__}) expects domain "
+                    f"{node.domain_in!r} but receives {domain!r}"
+                )
+            node = node.bind(rate)
+            bound.append(node)
+            rate = node.rate_out(rate)
+            if node.domain_out != "any":
+                domain = node.domain_out
+        object.__setattr__(self, "nodes", tuple(bound))
+        object.__setattr__(self, "output_rate", rate)
+
+    # ------------------------------------------------------------------ chain
+    def chain(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Apply all nodes (traceable; call under jit for one XLA program)."""
+        for node in self.nodes:
+            x = node.apply(x)
+        return x
+
+    def __call__(self, x):
+        return self.chain(x)
+
+    def compile(self, donate: bool = False) -> Callable:
+        """One jitted program for the whole chain."""
+        fn = jax.jit(self.chain, donate_argnums=(0,) if donate else ())
+        return fn
+
+    # -------------------------------------------------------------- streaming
+    @property
+    def streamable(self) -> bool:
+        return all(n.streamable for n in self.nodes)
+
+    def _check_streamable(self):
+        bad = [type(n).__name__ for n in self.nodes if not n.streamable]
+        if bad:
+            raise AudioError(
+                f"nodes not streamable: {bad}", code=ErrorCode.CONFIG_VALIDATION_ERROR
+            )
+
+    def chunk_granularity(self) -> int:
+        """Smallest valid streaming chunk (in input samples); any multiple works.
+
+        Each node needs its incoming chunk to be a multiple of
+        ``node.chunk_multiple()``; the incoming length is the input chunk
+        scaled by the exact rational ratios of the preceding nodes.
+        """
+        import math
+        from fractions import Fraction
+
+        gran = 1
+        ratio = Fraction(1)
+        for node in self.nodes:
+            m = node.chunk_multiple()
+            # need (chunk_in * ratio) % m == 0  ->  chunk_in multiple of:
+            need = (m * ratio.denominator) // math.gcd(ratio.numerator, m * ratio.denominator)
+            gran = math.lcm(gran, need)
+            ratio *= Fraction(node.out_len(m), m)
+        return gran
+
+    def chunk_lens(self, chunk_in: int) -> list[int]:
+        """Per-node streaming chunk lengths [n_0=chunk_in, ..., n_out]."""
+        lens = [chunk_in]
+        n = chunk_in
+        for node in self.nodes:
+            node.validate_chunk(n)
+            n = node.out_len(n)
+            lens.append(n)
+        return lens
+
+    def _downstream_granularity(self, i: int) -> int:
+        """Chunk granularity of nodes[i+1:] in units of node i's output."""
+        import math
+        from fractions import Fraction
+
+        gran = 1
+        ratio = Fraction(1)
+        for node in self.nodes[i + 1 :]:
+            m = node.chunk_multiple()
+            need = (m * ratio.denominator) // math.gcd(ratio.numerator, m * ratio.denominator)
+            gran = math.lcm(gran, need)
+            ratio *= Fraction(node.out_len(m), m)
+        return gran
+
+    def _delays(self, chunk_in: int) -> list[int]:
+        """Per-node aligned streaming delay (in that node's output units).
+
+        A node's intrinsic latency (e.g. a resampler's filter lookahead) is a
+        shift in its *output sample grid*; if it is not a whole multiple of
+        the downstream chain's granularity (e.g. an STFT hop), downstream
+        frames would land on a shifted grid and streaming would only
+        approximate offline. Padding the delay up to that granularity makes
+        the streamed output an exact (whole-unit) shift of the offline one.
+        """
+        lens = self.chunk_lens(chunk_in)
+        out = []
+        for i, node in enumerate(self.nodes):
+            lat = node.latency(lens[i])
+            align = self._downstream_granularity(i)
+            pad = (-lat) % align if lat else 0
+            out.append(lat + pad)
+        return out
+
+    def stream_latency(self, chunk_in: int) -> int:
+        """Total streaming latency in final-output units (exact integer)."""
+        lens = self.chunk_lens(chunk_in)
+        delays = self._delays(chunk_in)
+        total = 0
+        for i, d in enumerate(delays):
+            assert (d * lens[-1]) % lens[i + 1] == 0
+            total += d * lens[-1] // lens[i + 1]
+        return total
+
+    def _stream_axis(self, node: Node) -> int:
+        return -2 if node.domain_out == "frames" else -1
+
+    def init_state(self, chunk_in: int, lead_shape: tuple = (), dtype=jnp.float32):
+        """Initial stream state: (carries, pendings) pytree.
+
+        ``pendings[i]`` is the zero-filled delay-alignment buffer for node i
+        (None when no alignment is needed); shapes come from an abstract
+        (eval_shape) pass, so nothing is computed.
+        """
+        self._check_streamable()
+        lens = self.chunk_lens(chunk_in)
+        delays = self._delays(chunk_in)
+        carries = []
+        n = chunk_in
+        for node in self.nodes:
+            carries.append(node.init_carry(lead_shape, n, dtype))
+            n = node.out_len(n)
+
+        # abstract pass for per-node output shapes/dtypes
+        def _run(chunk):
+            shapes = []
+            x = chunk
+            for node, carry in zip(self.nodes, carries):
+                _, x = node.step(carry, x)
+                shapes.append(x)
+            return shapes
+
+        out_specs = jax.eval_shape(_run, jnp.zeros((*lead_shape, chunk_in), dtype))
+        pendings = []
+        for i, node in enumerate(self.nodes):
+            lat = node.latency(lens[i])
+            pad = delays[i] - lat
+            if pad == 0:
+                pendings.append(None)
+                continue
+            spec = out_specs[i]
+            axis = self._stream_axis(node) % len(spec.shape)
+            shape = list(spec.shape)
+            shape[axis] = pad
+            pendings.append(jnp.zeros(shape, spec.dtype))
+        return carries, pendings
+
+    def stream_step(self, state, chunk: jnp.ndarray):
+        """One fixed-shape streaming step through every node (traceable)."""
+        carries, pendings = state
+        new_carries, new_pendings = [], []
+        x = chunk
+        for node, carry, pending in zip(self.nodes, carries, pendings):
+            carry, x = node.step(carry, x)
+            if pending is not None:
+                axis = self._stream_axis(node) % x.ndim
+                n_out = x.shape[axis]
+                buf = jnp.concatenate([pending, x], axis=axis)
+                x = jax.lax.slice_in_dim(buf, 0, n_out, axis=axis)
+                pending = jax.lax.slice_in_dim(buf, n_out, buf.shape[axis], axis=axis)
+            new_carries.append(carry)
+            new_pendings.append(pending)
+        return (new_carries, new_pendings), x
+
+    def compile_stream(self, donate: bool = True) -> Callable:
+        """Jitted ``step(state, chunk) -> (state, out)``; donate recycles the
+        carry buffers in place (no HBM churn per chunk)."""
+        return jax.jit(self.stream_step, donate_argnums=(0,) if donate else ())
+
+    def scan_stream(self, x: jnp.ndarray, chunk_in: int) -> jnp.ndarray:
+        """Stream a whole signal inside one program: lax.scan over chunks.
+
+        ``x [..., T]`` with T a multiple of chunk_in. Output chunks are
+        concatenated along the streamed axis.
+        """
+        self._check_streamable()
+        t = x.shape[-1]
+        if t % chunk_in:
+            raise AudioError(
+                f"signal length {t} not a multiple of chunk_in {chunk_in}; pad first",
+                code=ErrorCode.SHAPE_MISMATCH,
+            )
+        lead = x.shape[:-1]
+        n_chunks = t // chunk_in
+        state = self.init_state(chunk_in, lead, x.dtype)
+        chunks = jnp.moveaxis(x.reshape(*lead, n_chunks, chunk_in), -2, 0)
+
+        def body(s, c):
+            s, out = self.stream_step(s, c)
+            return s, out
+
+        _, outs = jax.lax.scan(body, state, chunks)  # outs: [n_chunks, ..., m(, F)]
+        outs = jnp.moveaxis(outs, 0, len(lead))  # [..., n_chunks, m(, F)]
+        m = outs.shape[len(lead) + 1]
+        return outs.reshape(*lead, n_chunks * m, *outs.shape[len(lead) + 2 :])
+
+
+def chain(*nodes: Node, input_rate: int | None = None, name: str = "graph") -> Graph:
+    """Convenience constructor: ``chain(Resample(...), Stft(...), ...)``."""
+    return Graph(tuple(nodes), input_rate=input_rate, name=name)

@@ -1,0 +1,449 @@
+"""Flow-graph nodes: typed, hashable configs wrapping the kernel library.
+
+Each node is a frozen dataclass (hashable → usable as a jit static argument,
+SURVEY §5.6) with two execution modes:
+
+* ``apply(x)`` — offline whole-array transform; the graph chains these into
+  one traced function that jit compiles to a single XLA program (the north
+  star's "chained transform nodes compile to a single jitted XLA program").
+* ``init_carry(...)`` / ``step(carry, chunk)`` — streaming mode with O(1)
+  carried state (resampler history, STFT overlap, IIR state, VAD machine,
+  limiter envelope), the TPU analog of the reference's accumulate-and-chunk
+  pipeline (capture ring -> BatchResampler -> VAD, SURVEY §3.3). Carries are
+  ordinary pytrees, so they double as the checkpoint format (SURVEY §5.4).
+
+Data domains: "samples" (PCM [..., T]), "frames" (spectral [..., T, F]),
+"any". The graph validates domain adjacency at construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import ops
+from ..errors import AudioError, ErrorCode
+import importlib
+
+from ..ops import biquad as _biquad
+from ..ops import vad as _vad
+
+# `ops.resample` the attribute is the re-exported *function*; fetch the
+# submodule itself for the streaming-plan API
+_resample = importlib.import_module("audioflow_tpu.ops.resample")
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register_node(cls):
+    """Register a node class for config (de)serialization by name."""
+    _REGISTRY[cls.__name__] = cls
+    return cls
+
+
+def node_registry() -> dict[str, type]:
+    return dict(_REGISTRY)
+
+
+@dataclass(frozen=True)
+class Node:
+    """Base node. Subclasses override the class attrs + methods they need."""
+
+    domain_in = "samples"
+    domain_out = "samples"
+    streamable = True
+
+    # --- rate/meta propagation -------------------------------------------
+    def rate_out(self, rate_in: int | None) -> int | None:
+        return rate_in
+
+    def bind(self, rate_in: int | None) -> "Node":
+        """Resolve rate-dependent defaults (sample_rate=None) at graph build."""
+        if rate_in is not None and getattr(self, "sample_rate", "x") is None:
+            return dataclasses.replace(self, sample_rate=rate_in)
+        return self
+
+    # --- offline ----------------------------------------------------------
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    # --- streaming ---------------------------------------------------------
+    def chunk_multiple(self) -> int:
+        """Streaming chunks entering this node must be a multiple of this."""
+        return 1
+
+    def validate_chunk(self, n_in: int) -> None:
+        m = self.chunk_multiple()
+        if n_in % m:
+            raise AudioError(
+                f"{type(self).__name__}: chunk {n_in} not a multiple of {m}",
+                code=ErrorCode.SHAPE_MISMATCH,
+            )
+
+    def out_len(self, n_in: int) -> int:
+        return n_in
+
+    def latency(self, n_in: int) -> int:
+        """Streaming latency in *output* units for chunk size n_in."""
+        return 0
+
+    def init_carry(self, lead_shape: tuple, n_in: int, dtype=jnp.float32):
+        return None
+
+    def step(self, carry, chunk):
+        return carry, self.apply(chunk)
+
+
+@register_node
+@dataclass(frozen=True)
+class ToMono(Node):
+    """Interleaved multi-channel -> mono mean (capture.rs:30-42)."""
+
+    channels: int = 2
+
+    def apply(self, x):
+        return ops.to_mono(x, self.channels)
+
+    def chunk_multiple(self):
+        return self.channels
+
+    def out_len(self, n_in):
+        return n_in // self.channels
+
+
+@register_node
+@dataclass(frozen=True)
+class Resample(Node):
+    """Rational resampler (polyphase matmul); resampler.rs equivalent."""
+
+    input_rate: int = 48000
+    output_rate: int = 16000
+    mode: str = "kaiser"
+
+    def rate_out(self, rate_in):
+        return self.output_rate
+
+    def bind(self, rate_in):
+        if rate_in is not None and rate_in != self.input_rate:
+            raise AudioError(
+                f"Resample node expects input rate {self.input_rate}, graph carries {rate_in}",
+                code=ErrorCode.SHAPE_MISMATCH,
+            )
+        return self
+
+    @property
+    def _identity(self) -> bool:
+        return self.input_rate == self.output_rate
+
+    def apply(self, x):
+        return ops.resample(x, self.input_rate, self.output_rate, self.mode)
+
+    def _stream_plan(self, n_in):
+        return _resample.make_stream_plan(self.input_rate, self.output_rate, self.mode, chunk_in=n_in)
+
+    def chunk_multiple(self):
+        if self._identity:
+            return 1
+        from ..utils import cdiv, rational_rate
+
+        up, down = rational_rate(self.input_rate, self.output_rate)
+        g = max(up, cdiv(128, up) * up)
+        return g * down // up  # the stream plan's inputs-per-block
+
+    def out_len(self, n_in):
+        return n_in if self._identity else self._stream_plan(n_in).n_out_chunk
+
+    def latency(self, n_in):
+        return 0 if self._identity else self._stream_plan(n_in).latency_out
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        if self._identity:
+            return None
+        return _resample.resample_stream_init(self._stream_plan(n_in), lead_shape, dtype)
+
+    def step(self, carry, chunk):
+        if self._identity:
+            return carry, chunk
+        return _resample.resample_stream_step(self._stream_plan(chunk.shape[-1]), carry, chunk)
+
+
+@register_node
+@dataclass(frozen=True)
+class BiquadChain(Node):
+    """Cascade of biquads (north-star config 3's EQ chain)."""
+
+    biquads: tuple[_biquad.Biquad, ...] = ()
+    block: int = 128
+
+    def __post_init__(self):
+        if not self.biquads:
+            raise AudioError("empty biquad chain", code=ErrorCode.CONFIG_VALIDATION_ERROR)
+
+    @property
+    def _plan(self):
+        return _biquad.make_iir_plan(tuple(self.biquads), self.block)
+
+    def apply(self, x):
+        y, _ = _biquad.iir_apply(x, self._plan)
+        return y
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros((*lead_shape, self._plan.order), dtype)
+
+    def step(self, carry, chunk):
+        y, s = _biquad.iir_apply(chunk, self._plan, zi=carry)
+        return s, y
+
+
+@register_node
+@dataclass(frozen=True)
+class Gain(Node):
+    db: float = 0.0
+
+    def apply(self, x):
+        return ops.gain_db(x, self.db)
+
+
+@register_node
+@dataclass(frozen=True)
+class PeakNormalize(Node):
+    """Whole-signal op: offline only."""
+
+    target_peak: float = 1.0
+    streamable = False
+
+    def apply(self, x):
+        return ops.peak_normalize(x, self.target_peak)
+
+
+@register_node
+@dataclass(frozen=True)
+class RmsNormalize(Node):
+    target_db: float = -20.0
+    streamable = False
+
+    def apply(self, x):
+        return ops.rms_normalize(x, self.target_db)
+
+
+@register_node
+@dataclass(frozen=True)
+class Limiter(Node):
+    """Peak limiter; envelope carry makes streaming exact."""
+
+    threshold_db: float = -1.0
+    release_ms: float = 50.0
+    sample_rate: int | None = None
+
+    def _coeff(self) -> float:
+        if self.sample_rate is None:
+            raise AudioError("Limiter.sample_rate unresolved; set input_rate on the graph")
+        return float(np.exp(-1.0 / (self.release_ms * 1e-3 * self.sample_rate)))
+
+    def apply(self, x):
+        return ops.limiter(x, self.threshold_db, self.release_ms, self.sample_rate)
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros(lead_shape, dtype)
+
+    def step(self, carry, chunk):
+        r = self._coeff()
+        env = ops.dynamics.envelope_peak_release(jnp.abs(chunk), r)
+        t = chunk.shape[-1]
+        decay = carry[..., None] * (r ** jnp.arange(1, t + 1, dtype=chunk.dtype))
+        env = jnp.maximum(env, decay)
+        thresh = 10.0 ** (self.threshold_db / 20.0)
+        g = jnp.minimum(1.0, thresh / jnp.maximum(env, 1e-30))
+        return env[..., -1], chunk * g
+
+
+@register_node
+@dataclass(frozen=True)
+class Stft(Node):
+    """samples -> complex frames. Streaming keeps the n_fft-hop overlap tail;
+    the stream equals offline STFT (center=False) of the zero-prehistory
+    signal, with n_fft/hop - 1 frames of latency."""
+
+    n_fft: int = 1024
+    hop: int = 256
+    window: str = "hann"
+    center: bool = True
+
+    domain_out = "frames"
+
+    def apply(self, x):
+        return ops.stft(x, self.n_fft, self.hop, window=self.window, center=self.center)
+
+    def chunk_multiple(self):
+        return self.hop
+
+    def validate_chunk(self, n_in):
+        super().validate_chunk(n_in)
+        if self.n_fft % self.hop:
+            raise AudioError(
+                "streaming STFT requires hop | n_fft", code=ErrorCode.CONFIG_VALIDATION_ERROR
+            )
+
+    def out_len(self, n_in):
+        return n_in // self.hop
+
+    def latency(self, n_in):
+        return self.n_fft // self.hop - 1
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros((*lead_shape, self.n_fft - self.hop), dtype)
+
+    def step(self, carry, chunk):
+        buf = jnp.concatenate([carry, chunk], axis=-1)
+        spec = ops.stft(buf, self.n_fft, self.hop, window=self.window, center=False)
+        return buf[..., buf.shape[-1] - (self.n_fft - self.hop) :], spec
+
+
+@register_node
+@dataclass(frozen=True)
+class Magnitude(Node):
+    domain_in = "frames"
+    domain_out = "frames"
+
+    def apply(self, x):
+        return ops.magnitude(x)
+
+
+@register_node
+@dataclass(frozen=True)
+class Power(Node):
+    domain_in = "frames"
+    domain_out = "frames"
+
+    def apply(self, x):
+        return ops.power(x)
+
+
+@register_node
+@dataclass(frozen=True)
+class MelProject(Node):
+    """power/magnitude frames -> (log-)mel features; one MXU matmul."""
+
+    n_mels: int = 128
+    sample_rate: int | None = None
+    f_min: float = 0.0
+    f_max: float | None = None
+    htk: bool = False
+    norm: str | None = "slaney"
+    log: str | None = "ln"  # None -> linear mel
+    floor: float = 1e-10
+
+    domain_in = "frames"
+    domain_out = "frames"
+
+    def _fb(self, n_freqs):
+        if self.sample_rate is None:
+            raise AudioError("MelProject.sample_rate unresolved; set input_rate on the graph")
+        return ops.mel_filterbank(
+            n_freqs, self.n_mels, self.sample_rate, self.f_min, self.f_max, self.htk, self.norm
+        )
+
+    def apply(self, x):
+        fb = self._fb(x.shape[-1])
+        if self.log is None:
+            return ops.apply_mel(x, fb)
+        return ops.log_mel(x, fb, self.floor, self.log)
+
+
+@register_node
+@dataclass(frozen=True)
+class Mfcc(Node):
+    n_mfcc: int = 13
+    domain_in = "frames"
+    domain_out = "frames"
+
+    def apply(self, x):
+        return ops.mfcc(x, self.n_mfcc)
+
+
+@register_node
+@dataclass(frozen=True)
+class Vad(Node):
+    """Energy VAD over fixed frames; emits int32 states (0/1/2) per frame."""
+
+    frame_len: int = 320  # 20 ms @ 16 kHz, the reference capture cadence
+    threshold_db: float = -50.0
+    smoothing_factor: float = 0.3
+    silence_timeout_frames: int = 15
+    min_speech_frames: int = 3
+
+    domain_out = "frames"
+
+    def _cfg(self):
+        return _vad.VadConfig(
+            self.threshold_db,
+            self.smoothing_factor,
+            self.silence_timeout_frames,
+            self.min_speech_frames,
+        )
+
+    def _frames(self, x):
+        n = x.shape[-1] // self.frame_len
+        return x[..., : n * self.frame_len].reshape(*x.shape[:-1], n, self.frame_len)
+
+    def apply(self, x):
+        _, states = _vad.vad_scan(self._frames(x), self._cfg())
+        return states
+
+    def chunk_multiple(self):
+        return self.frame_len
+
+    def out_len(self, n_in):
+        return n_in // self.frame_len
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return _vad.vad_init(lead_shape, dtype)
+
+    def step(self, carry, chunk):
+        return _vad.vad_scan(self._frames(chunk), self._cfg(), carry)
+
+
+@register_node
+@dataclass(frozen=True)
+class QuantizeI16(Node):
+    """Wire-parity f32 -> i16 (websocket.rs:246-251)."""
+
+    rounding: str = "trunc"  # "trunc" (reference parity) or "round"
+    domain_in = "any"
+    domain_out = "any"
+
+    def apply(self, x):
+        if self.rounding == "trunc":
+            return ops.quantize_i16(x)
+        return ops.quantize_i16_round(x)
+
+
+@register_node
+@dataclass(frozen=True)
+class TimeStretch(Node):
+    """Phase-vocoder time stretch (offline; changes duration)."""
+
+    rate: float = 1.0
+    n_fft: int = 1024
+    hop: int = 256
+    streamable = False
+
+    def apply(self, x):
+        return ops.time_stretch(x, self.rate, self.n_fft, self.hop)
+
+
+@register_node
+@dataclass(frozen=True)
+class PitchShift(Node):
+    semitones: float = 0.0
+    sample_rate: int | None = None
+    n_fft: int = 1024
+    hop: int = 256
+    streamable = False
+
+    def apply(self, x):
+        return ops.pitch_shift(x, self.semitones, self.sample_rate, self.n_fft, self.hop)

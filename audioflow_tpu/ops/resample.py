@@ -128,6 +128,22 @@ class ResamplePlan:
         return max(0, -self.offset)
 
 
+def _block_matrix(bank: np.ndarray, up: int, down: int, g: int, n_shift: int = 0) -> np.ndarray:
+    """Banded weight matrix for a block of ``g`` outputs starting at absolute
+    output index ``n_shift`` (mod up); rows are window positions relative to
+    the block's first window start."""
+    k_taps = bank.shape[1]
+    q0 = ((n_shift) * down) // up
+    width = ((n_shift + g - 1) * down) // up - q0 + k_taps
+    w = np.zeros((width, g), dtype=np.float64)
+    for gg in range(g):
+        n = n_shift + gg
+        p = (n * down) % up
+        base = (n * down) // up - q0
+        w[base : base + k_taps, gg] = bank[p]
+    return w.astype(np.float32)
+
+
 @lru_cache(maxsize=64)
 def make_plan(
     input_rate: int,
@@ -146,12 +162,11 @@ def make_plan(
     k_taps = bank.shape[1]
     g = max(L, cdiv(min_block_out, L) * L)
     ipb = g * M // L
-    w = np.zeros((ipb + k_taps, g), dtype=np.float64)
-    for gg in range(g):
-        p = (gg * M) % L
-        base = (gg * M) // L
-        w[base : base + k_taps, gg] = bank[p]
-    return ResamplePlan(L, M, offset, g, ipb, k_taps, w.astype(np.float32))
+    w = _block_matrix(bank, L, M, g)
+    assert w.shape[0] <= ipb + k_taps
+    if w.shape[0] < ipb + k_taps:
+        w = np.pad(w, ((0, ipb + k_taps - w.shape[0]), (0, 0)))
+    return ResamplePlan(L, M, offset, g, ipb, k_taps, w)
 
 
 def _window_blocks(x: jnp.ndarray, n_blocks: int, ipb: int, width: int) -> jnp.ndarray:
@@ -189,6 +204,105 @@ def resample_apply(x: jnp.ndarray, plan: ResamplePlan, n_out: int | None = None)
     y = mm(win, w)
     y = y.reshape(*y.shape[:-2], n_blocks * plan.block_out)
     return y[..., :n_out].astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# streaming (fixed-shape chunk steps with carried history)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class StreamResamplePlan:
+    """Static plan for chunked streaming resampling.
+
+    Chunk k (input samples ``[k*chunk_in, (k+1)*chunk_in)``) emits the fixed
+    count ``n_out_chunk = chunk_in*up/down`` of consecutive outputs, offset by
+    the (negative) constant ``n0``: the m-th output overall is offline output
+    ``n0 + m`` of the zero-prehistory stream. Concatenated streaming output
+    with the first ``-n0`` samples dropped equals the offline resampler
+    exactly (verified in tests). Carry = last ``hist`` input samples.
+
+    This is the TPU analog of the reference's BatchResampler accumulate/chunk
+    semantics (resampler.rs:114-167), with fixed shapes for jit.
+    """
+
+    up: int
+    down: int
+    chunk_in: int
+    n_out_chunk: int
+    n0: int  # output-index shift (<= 0); -n0 == streaming latency in output samples
+    hist: int  # carried input samples
+    block_out: int
+    ipb: int
+    k_taps: int
+    matrix: np.ndarray  # [ipb + k_taps, block_out] f32
+
+    @property
+    def latency_out(self) -> int:
+        return -self.n0
+
+
+@lru_cache(maxsize=64)
+def make_stream_plan(
+    input_rate: int,
+    output_rate: int,
+    mode: str = "kaiser",
+    chunk_in: int = 4096,
+    min_block_out: int = 128,
+    half_width: int = 16,
+    beta: float = 8.555,
+) -> StreamResamplePlan:
+    L, M = rational_rate(input_rate, output_rate)
+    kw = {"half_width": half_width, "beta": beta} if mode == "kaiser" else {}
+    try:
+        bank, offset = _BANKS[mode](L, M, **kw)
+    except KeyError:
+        raise ValueError(f"unknown resample mode {mode!r}; known: {sorted(_BANKS)}") from None
+    k_taps = bank.shape[1]
+    g = max(L, cdiv(min_block_out, L) * L)
+    ipb = g * M // L
+    if chunk_in % ipb != 0:
+        raise ValueError(
+            f"chunk_in={chunk_in} must be a multiple of {ipb} "
+            f"(= {g}*{M}/{L}) for rates {input_rate}->{output_rate}"
+        )
+    noc = chunk_in * L // M
+    # largest n0 such that the last output of a chunk never reads past the
+    # chunk's final input sample: ((n0+noc-1)*M)//L + offset + k_taps - 1 <= chunk_in - 1
+    n0 = (chunk_in - k_taps - offset) * L // M - noc + 1
+    while ((n0 + noc - 1) * M) // L + offset + k_taps - 1 > chunk_in - 1:
+        n0 -= 1
+    n0 = min(n0, 0)
+    hist = -((n0 * M) // L + offset)
+    assert hist >= 0, (n0, offset, hist)
+    # block matrix with phases shifted by n0; n_shift must keep the row-0
+    # alignment: window start of block b, col 0 is q(n0 + b*g) relative to
+    # buf position b*ipb. Because g is a multiple of L, q advances by exactly
+    # ipb per block, so one matrix serves all blocks.
+    w = _block_matrix(bank, L, M, g, n_shift=n0)
+    assert w.shape[0] <= ipb + k_taps
+    if w.shape[0] < ipb + k_taps:
+        w = np.pad(w, ((0, ipb + k_taps - w.shape[0]), (0, 0)))
+    return StreamResamplePlan(L, M, chunk_in, noc, n0, hist, g, ipb, k_taps, w)
+
+
+def resample_stream_init(plan: StreamResamplePlan, lead_shape=(), dtype=jnp.float32) -> jnp.ndarray:
+    """Zero history carry ``[..., hist]`` (matches the offline zero left-pad)."""
+    return jnp.zeros((*lead_shape, plan.hist), dtype)
+
+
+def resample_stream_step(
+    plan: StreamResamplePlan, carry: jnp.ndarray, chunk: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One streaming step: ``chunk [..., chunk_in]`` -> ``[..., n_out_chunk]``."""
+    if chunk.shape[-1] != plan.chunk_in:
+        raise ValueError(f"chunk length {chunk.shape[-1]} != plan chunk_in {plan.chunk_in}")
+    buf = jnp.concatenate([carry, chunk], axis=-1)
+    n_blocks = plan.n_out_chunk // plan.block_out
+    win = _window_blocks(buf, n_blocks, plan.ipb, plan.ipb + plan.k_taps)
+    w = jnp.asarray(plan.matrix, dtype=buf.dtype if buf.dtype != jnp.float64 else jnp.float32)
+    y = mm(win, w).reshape(*buf.shape[:-1], plan.n_out_chunk).astype(chunk.dtype)
+    new_carry = buf[..., buf.shape[-1] - plan.hist :] if plan.hist else carry
+    return new_carry, y
 
 
 def resample(

@@ -58,9 +58,9 @@ class VadCarry(NamedTuple):
     state: jnp.ndarray  # i32 scalar in {0,1,2}
 
 
-def vad_init(dtype=jnp.float32) -> VadCarry:
-    z = jnp.zeros((), dtype)
-    zi = jnp.zeros((), jnp.int32)
+def vad_init(lead_shape=(), dtype=jnp.float32) -> VadCarry:
+    z = jnp.zeros(lead_shape, dtype)
+    zi = jnp.zeros(lead_shape, jnp.int32)
     return VadCarry(z, zi, zi, zi)
 
 
@@ -111,13 +111,19 @@ def vad_scan(
     cfg: VadConfig = VadConfig(),
     carry: VadCarry | None = None,
 ) -> tuple[VadCarry, jnp.ndarray]:
-    """Run VAD over ``frames [n_frames, frame_len]`` -> (carry, states [n_frames]).
+    """Run VAD over ``frames [..., n_frames, frame_len]``.
 
-    For batches, vmap over the leading axis with a batched carry.
+    Returns (carry with leading shape ``[...]``, states ``[..., n_frames]``).
+    The scan is over time; all leading axes ride along elementwise, so one
+    scan serves the whole batch.
     """
-    energies = mean_square_energy(frames, axis=-1)
-    carry = carry if carry is not None else vad_init(energies.dtype)
-    return jax.lax.scan(lambda c, e: vad_step(cfg, c, e), carry, energies)
+    energies = mean_square_energy(frames, axis=-1)  # [..., n_frames]
+    lead = energies.shape[:-1]
+    if carry is None:
+        carry = vad_init(lead, energies.dtype)
+    en_t = jnp.moveaxis(energies, -1, 0)  # [n_frames, ...]
+    carry, states = jax.lax.scan(lambda c, e: vad_step(cfg, c, e), carry, en_t)
+    return carry, jnp.moveaxis(states, 0, -1)
 
 
 def vad_energy_db(carry: VadCarry) -> jnp.ndarray:

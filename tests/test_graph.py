@@ -1,0 +1,178 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audioflow_tpu import ops
+from audioflow_tpu.errors import AudioError, ConfigError
+from audioflow_tpu.graph import (
+    BiquadChain,
+    Gain,
+    Graph,
+    Limiter,
+    MelProject,
+    Power,
+    Resample,
+    Stft,
+    ToMono,
+    Vad,
+    chain,
+)
+
+
+def _logmel_graph(in_rate=48000):
+    return chain(
+        Resample(in_rate, 16000, "kaiser"),
+        Stft(512, 128, center=False),
+        Power(),
+        MelProject(n_mels=64),
+        input_rate=in_rate,
+    )
+
+
+def test_graph_matches_manual_chain(rng):
+    g = _logmel_graph()
+    x = jnp.asarray(rng.standard_normal(48000).astype(np.float32))
+    got = np.asarray(g.compile()(x))
+    y = ops.resample(x, 48000, 16000)
+    spec = ops.power(ops.stft(y, 512, 128, center=False))
+    want = np.asarray(ops.log_mel(spec, ops.mel_filterbank(257, 64, 16000)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rate_binding_propagates():
+    g = _logmel_graph()
+    assert g.output_rate == 16000
+    # MelProject picked up the post-resample rate
+    assert g.nodes[-1].sample_rate == 16000
+    lim = chain(Limiter(), input_rate=44100)
+    assert lim.nodes[0].sample_rate == 44100
+
+
+def test_rate_mismatch_raises():
+    with pytest.raises(AudioError):
+        chain(Resample(48000, 16000), input_rate=44100)
+
+
+def test_domain_mismatch_raises():
+    with pytest.raises(ConfigError):
+        chain(Power(), input_rate=16000)  # frames node fed samples
+    with pytest.raises(ConfigError):
+        chain(Stft(), Gain(), input_rate=16000)  # samples node fed frames
+
+
+def test_empty_graph_raises():
+    with pytest.raises(ConfigError):
+        Graph(())
+
+
+def test_graph_is_one_jitted_program(rng):
+    g = _logmel_graph()
+    lowered = jax.jit(g.chain).lower(jnp.zeros(48000, jnp.float32))
+    hlo = lowered.as_text()
+    # one entry computation; sanity that fft + dot are both in the program
+    assert "fft" in hlo.lower()
+    assert "dot" in hlo.lower()
+
+
+def test_batched_graph(rng):
+    g = _logmel_graph()
+    x = jnp.asarray(rng.standard_normal((3, 48000)).astype(np.float32))
+    out = g.compile()(x)
+    assert out.shape[0] == 3
+    one = g.compile()(x[1])
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(one), atol=1e-5)
+
+
+# ---------------------------------------------------------------- streaming
+
+def test_stream_step_iir_matches_offline(rng):
+    g = chain(BiquadChain((ops.highpass(100.0, 16000.0), ops.peaking(1000.0, 16000.0, 4.0))), input_rate=16000)
+    x = rng.standard_normal(8192).astype(np.float32)
+    offline = np.asarray(g.chain(jnp.asarray(x)))
+    state = g.init_state(1024)
+    step = g.compile_stream(donate=False)
+    outs = []
+    for k in range(8):
+        state, y = step(state, jnp.asarray(x[k * 1024 : (k + 1) * 1024]))
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(outs), offline, atol=1e-5)
+
+
+def test_stream_resample_matches_offline_after_latency(rng):
+    g = chain(Resample(48000, 16000, "kaiser"), input_rate=48000)
+    chunk = g.chunk_granularity() * 10  # 3840
+    x = rng.standard_normal(chunk * 12).astype(np.float32)
+    offline = np.asarray(g.chain(jnp.asarray(x)))
+    streamed = np.asarray(g.scan_stream(jnp.asarray(x), chunk))
+    lat = g.stream_latency(chunk)
+    assert lat > 0
+    n = len(streamed) - lat
+    np.testing.assert_allclose(streamed[lat:], offline[:n], atol=1e-5)
+
+
+def test_stream_full_pipeline_scan(rng):
+    """Streaming resample->EQ->limiter->STFT->logmel stays shape-consistent
+    and matches the offline graph on the overlapping (post-latency) region."""
+    g = chain(
+        Resample(48000, 16000, "kaiser"),
+        BiquadChain((ops.highpass(80.0, 16000.0),)),
+        Limiter(threshold_db=-3.0),
+        Stft(512, 128, center=False),
+        Power(),
+        MelProject(n_mels=32),
+        input_rate=48000,
+    )
+    chunk = g.chunk_granularity() * 25  # granularity = lcm(384, 3*128) = 384
+    x = (rng.standard_normal(chunk * 10) * 0.4).astype(np.float32)
+    streamed = np.asarray(g.scan_stream(jnp.asarray(x), chunk))
+    offline = np.asarray(g.chain(jnp.asarray(x)))
+    lat = g.stream_latency(chunk)
+    n = min(len(streamed) - lat, len(offline))
+    assert n > 100
+    # delay alignment makes streamed == offline exactly (up to f32 noise,
+    # amplified by log near the mel floor)
+    np.testing.assert_allclose(streamed[lat : lat + n], offline[:n], atol=5e-4)
+
+
+def test_stream_vad(rng):
+    g = chain(Vad(frame_len=320), input_rate=16000)
+    # tail must outlast EMA decay (~9 frames) + silence timeout (15 frames)
+    x = np.concatenate(
+        [np.zeros(6400), 0.4 * np.sin(2 * np.pi * 300 * np.arange(16000) / 16000), np.zeros(12800)]
+    ).astype(np.float32)
+    states = np.asarray(g.scan_stream(jnp.asarray(x), 3200))
+    offline = np.asarray(g.chain(jnp.asarray(x)))
+    np.testing.assert_array_equal(states, offline)
+    assert 1 in states and 2 in states
+
+
+def test_non_streamable_raises(rng):
+    from audioflow_tpu.graph import PeakNormalize
+
+    g = chain(PeakNormalize(), input_rate=16000)
+    with pytest.raises(AudioError):
+        g.init_state(1024)
+
+
+def test_bad_chunk_raises():
+    g = chain(Stft(512, 128, center=False), input_rate=16000)
+    with pytest.raises(AudioError):
+        g.chunk_lens(1000)  # not a multiple of hop
+
+
+def test_to_mono_node(rng):
+    g = chain(ToMono(2), input_rate=48000)
+    x = jnp.asarray(rng.standard_normal(1000).astype(np.float32))
+    assert g.chain(x).shape == (500,)
+
+
+def test_stream_stft_matches_prepadded_offline(rng):
+    g = chain(Stft(512, 128, center=False), input_rate=16000)
+    x = rng.standard_normal(4096).astype(np.float32)
+    streamed = np.asarray(g.scan_stream(jnp.asarray(x), 512))
+    padded = np.concatenate([np.zeros(512 - 128, np.float32), x])
+    want = np.asarray(ops.stft(jnp.asarray(padded), 512, 128, center=False))
+    n = min(len(streamed), len(want))
+    np.testing.assert_allclose(streamed[:n], want[:n], atol=2e-4)
