@@ -1,0 +1,105 @@
+"""Benchmark harness: the five BASELINE.md configs, measured in
+audio-seconds/sec/chip (the north-star metric)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .models import log_mel_frontend, master_chain_graph, stft_magnitude_graph
+from .obs import measure_throughput
+from .ops import time_stretch
+
+
+def _tone_batch(batch: int, seconds: float, rate: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * rate), dtype=np.float32) / rate
+    freqs = rng.uniform(80, 4000, batch).astype(np.float32)
+    x = 0.3 * np.sin(2 * np.pi * freqs[:, None] * t[None, :])
+    x += 0.05 * rng.standard_normal((batch, t.size)).astype(np.float32)
+    return x.astype(np.float32)
+
+
+def _measure(graph_fn, x, audio_seconds, iters=8, sharded=False):
+    if sharded:
+        from .parallel import compile_sharded, make_mesh, shard_batch
+
+        mesh = make_mesh()
+        x = shard_batch(np.asarray(x), mesh)
+        fn = compile_sharded(graph_fn, mesh)
+        n_dev = mesh.devices.size
+    else:
+        fn = jax.jit(graph_fn.chain) if hasattr(graph_fn, "chain") else jax.jit(graph_fn)
+        x = jnp.asarray(x)
+        n_dev = 1
+    m = measure_throughput(fn, x, audio_seconds, iters=iters)
+    m.n_devices = n_dev
+    return m
+
+
+def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, sharded: bool = False) -> dict:
+    """Run one named benchmark; returns a JSON-ready dict."""
+    if name in ("stft", "config1"):
+        batch = batch or 64
+        rate = 16000
+        x = _tone_batch(batch, seconds, rate)
+        g = stft_magnitude_graph(rate, 1024, 256)
+        m = _measure(g, x, batch * seconds, sharded=sharded)
+    elif name in ("logmel", "config2"):
+        batch = batch or 64
+        rate = 44100
+        x = _tone_batch(batch, seconds, rate)
+        g = log_mel_frontend(rate, 16000, 1024, 256, 128)
+        m = _measure(g, x, batch * seconds, sharded=sharded)
+    elif name in ("master", "eq", "config3"):
+        batch = batch or 64
+        rate = 16000
+        x = _tone_batch(batch, seconds, rate)
+        g = master_chain_graph(rate)
+        m = _measure(g, x, batch * seconds, sharded=sharded)
+    elif name in ("pvoc", "config4"):
+        batch = batch or 16
+        rate = 16000
+        x = _tone_batch(batch, seconds, rate)
+        fn = lambda z: time_stretch(z, 1.25, 1024, 256)  # noqa: E731
+        m = _measure(fn, x, batch * seconds, sharded=False)
+    elif name in ("streaming", "config5"):
+        from .graph import chain as _chain
+        from .models import eq_bands_default
+        from .graph import BiquadChain, MelProject, Power, Resample, Stft
+
+        batch = batch or 256
+        rate = 44100
+        x = _tone_batch(batch, seconds, rate)
+        g = _chain(
+            Resample(rate, 16000, "kaiser"),
+            BiquadChain(eq_bands_default(16000.0)),
+            Stft(1024, 256, center=False),
+            Power(),
+            MelProject(n_mels=128),
+            input_rate=rate,
+        )
+        gran = g.chunk_granularity()
+        t = x.shape[-1] // gran * gran
+        x = x[:, :t]
+        chunk = gran * max(1, 16384 // gran)
+        t = t // chunk * chunk
+        x = x[:, :t]
+        fn = jax.jit(lambda b: g.scan_stream(b, chunk))
+        if sharded:
+            from .parallel import batch_sharding, make_mesh, shard_batch
+
+            mesh = make_mesh()
+            xs = shard_batch(x, mesh)
+            fn = jax.jit(lambda b: g.scan_stream(b, chunk), in_shardings=(batch_sharding(mesh, 2),))
+            m = measure_throughput(fn, xs, batch * t / rate, iters=4)
+            m.n_devices = mesh.devices.size
+        else:
+            m = measure_throughput(fn, jnp.asarray(x), batch * t / rate, iters=4)
+    else:
+        raise ValueError(f"unknown benchmark {name!r}")
+    out = m.to_dict()
+    out.update({"benchmark": name, "batch": batch, "clip_seconds": seconds})
+    return out

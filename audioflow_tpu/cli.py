@@ -1,0 +1,345 @@
+"""audioflow CLI — the framework's command surface.
+
+Maps the reference's 24-command Tauri API (commands.rs:17-511, SURVEY §2.5)
+onto batch-framework verbs:
+
+  devices            TPU/device enumeration     (get_audio_devices analog)
+  info               version/platform info      (get_app_info analog)
+  config show|path|set  config inspection/persistence (load/save_config)
+  run                offline graph over WAV files -> sink   (the DSP path)
+  stream             streaming session over a file, wire/npy egress
+  vad                VAD segments of a file     (get/set_vad_level + detect)
+  bench              throughput benchmarks      (new; north-star metric)
+  validate           numerics vs oracle, max|delta| report
+
+Usage: python -m audioflow_tpu.cli <command> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob as _glob
+import json
+import sys
+
+import numpy as np
+
+from . import __version__
+from .config import ConfigManager, default_config_path, graph_from_spec
+from .errors import AudioFlowError
+from .obs import StatsFile, get_logger, setup_logging
+from .sinks import auto_sink
+
+_log = get_logger("cli")
+
+_GRAPHS = ("logmel", "stft", "eq", "master", "vad", "wire")
+
+
+def _build_graph(name: str, input_rate: int, cfg):
+    from .models import (
+        eq_chain_graph,
+        log_mel_frontend,
+        master_chain_graph,
+        stft_magnitude_graph,
+        vad_graph,
+        wire_egress_graph,
+    )
+
+    a = cfg.audio
+    if name == "logmel":
+        return log_mel_frontend(input_rate, a.target_rate, a.n_fft, a.hop, a.n_mels, a.resample_mode)
+    if name == "stft":
+        return stft_magnitude_graph(input_rate, a.n_fft, a.hop)
+    if name == "eq":
+        return eq_chain_graph(input_rate)
+    if name == "master":
+        return master_chain_graph(input_rate)
+    if name == "vad":
+        return vad_graph(input_rate, a.chunk_ms)
+    if name == "wire":
+        return wire_egress_graph(input_rate, a.target_rate)
+    raise SystemExit(f"unknown graph {name!r}; known: {_GRAPHS}")
+
+
+def _expand_inputs(patterns: list[str]) -> list[str]:
+    files: list[str] = []
+    for p in patterns:
+        hits = sorted(_glob.glob(p))
+        files.extend(hits if hits else [p])
+    if not files:
+        raise SystemExit("no input files")
+    return files
+
+
+def cmd_devices(args) -> int:
+    import jax
+
+    rows = []
+    for d in jax.devices():
+        rows.append(
+            {
+                "id": d.id,
+                "platform": d.platform,
+                "kind": getattr(d, "device_kind", "?"),
+                "process": d.process_index,
+            }
+        )
+    print(json.dumps(rows, indent=None if args.json else 2))
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    info = {
+        "name": "audioflow-tpu",
+        "version": __version__,
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "n_devices": jax.device_count(),
+        "config_path": str(default_config_path()),
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def cmd_config(args) -> int:
+    mgr = ConfigManager(args.file)
+    if args.action == "path":
+        print(mgr.path)
+        return 0
+    mgr.load()
+    if args.action == "show":
+        print(json.dumps(mgr.current().to_dict(), indent=2))
+        return 0
+    if args.action == "set":
+        section, _, key = args.key.partition(".")
+
+        def apply(cfg):
+            obj = getattr(cfg, section, None)
+            if obj is None or not hasattr(obj, key):
+                raise SystemExit(f"unknown config key {args.key!r}")
+            cur = getattr(obj, key)
+            typ = type(cur) if cur is not None else str
+            val = typ(args.value) if typ is not bool else args.value.lower() in ("1", "true", "yes")
+            setattr(obj, key, val)
+
+        mgr.update(apply)
+        mgr.save()
+        print(f"saved {args.key} to {mgr.path}")
+        return 0
+    raise SystemExit(f"unknown config action {args.action}")
+
+
+def _load_batch(files, pad_multiple):
+    from .io import decode_batch
+
+    batch = decode_batch(files, pad_multiple=pad_multiple)
+    if not batch.valid.any():
+        raise SystemExit("all input files failed to decode")
+    bad = [str(p) for p, v in zip(batch.paths, batch.valid) if not v]
+    if bad:
+        _log.warning("failed lanes (masked, not fatal): %s", bad)
+    return batch
+
+
+def cmd_run(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    cfg = ConfigManager(args.config).load() if args.config else ConfigManager().current()
+    files = _expand_inputs(args.input)
+    batch = _load_batch(files, pad_multiple=1024)
+    rates = set(batch.rates[batch.valid].tolist())
+    if len(rates) > 1:
+        raise SystemExit(f"mixed sample rates in batch: {sorted(rates)}")
+    input_rate = args.input_rate or (rates.pop() if rates else cfg.audio.sample_rate)
+
+    if args.spec:
+        with open(args.spec) as f:
+            g = graph_from_spec(json.load(f))
+    else:
+        g = _build_graph(args.graph, input_rate, cfg)
+
+    from .obs import RunMetrics, Timer
+
+    x = jnp.asarray(batch.samples)
+    if args.sharded:
+        from .parallel import compile_sharded, make_mesh, pad_batch, shard_batch
+
+        mesh = make_mesh()
+        padded, mask = pad_batch(batch.samples, mesh)
+        x = shard_batch(padded, mesh)
+        fn = compile_sharded(g, mesh)
+    else:
+        fn = g.compile()
+
+    from .obs.metrics import _sync_scalar
+
+    with Timer() as tc:
+        _sync_scalar(fn(x))  # readback-based sync: block_until_ready is
+        # unreliable on tunneled device platforms
+    with Timer() as tr:
+        out = fn(x)
+        _sync_scalar(out)
+    host = np.asarray(out)[: len(files)]
+
+    m = RunMetrics(
+        audio_seconds=batch.audio_seconds,
+        wall_seconds=tr.elapsed,
+        compile_seconds=tc.elapsed,
+        files=len(files),
+        failed_files=int((~batch.valid).sum()),
+        batches=1,
+        n_devices=jax.device_count() if args.sharded else 1,
+    )
+    sink = auto_sink(args.output, sample_rate=g.output_rate)
+    sink.write(host)
+    res = sink.close()
+    stats = StatsFile(args.stats) if args.stats else StatsFile()
+    stats.record_run(m.audio_seconds)
+    stats.save()
+    print(json.dumps({"output": str(res) if res is not None else "array", **m.to_dict()}))
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from .io import read_wav
+    from .session import StreamSession
+
+    cfg = ConfigManager(args.config).load() if args.config else ConfigManager().current()
+    data, rate = read_wav(args.input)
+    if data.ndim == 2:
+        data = data.mean(axis=1).astype(np.float32)
+    g = _build_graph(args.graph, rate, cfg)
+    sinks = [auto_sink(args.output, sample_rate=g.output_rate)] if args.output else []
+    sess = StreamSession(g, chunk_in=args.chunk, sinks=sinks)
+    with sess:
+        step = args.push_size or sess.chunk_in
+        for i in range(0, len(data), step):
+            sess.push(data[i : i + step])
+        sess.flush()
+        results = sess.poll_all()
+    print(
+        json.dumps(
+            {
+                "chunks": len(results),
+                "latency": g.stream_latency(sess.chunk_in),
+                "audio_seconds": len(data) / rate,
+                "output": str(args.output) if args.output else None,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_vad(args) -> int:
+    from .io import read_wav
+    from .models import vad_graph
+
+    data, rate = read_wav(args.input)
+    if data.ndim == 2:
+        data = data.mean(axis=1)
+    g = vad_graph(rate, threshold_db=args.threshold_db)
+    import jax.numpy as jnp
+
+    states = np.asarray(g.compile()(jnp.asarray(data, jnp.float32)))
+    frame_s = g.nodes[0].frame_len / rate
+    segments = []
+    start = None
+    for i, s in enumerate(states):
+        if s == 1 and start is None:
+            start = i
+        elif s != 1 and start is not None:
+            segments.append({"start_s": round(start * frame_s, 3), "end_s": round(i * frame_s, 3)})
+            start = None
+    if start is not None:
+        segments.append(
+            {"start_s": round(start * frame_s, 3), "end_s": round(len(states) * frame_s, 3)}
+        )
+    print(json.dumps({"frames": len(states), "speech_segments": segments}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from .bench import run_benchmark
+
+    result = run_benchmark(args.benchmark, batch=args.batch, seconds=args.seconds, sharded=args.sharded)
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from .validate import run_validation
+
+    report = run_validation()
+    print(json.dumps(report, indent=2))
+    return 0 if report["max_abs_err"] < 1e-4 else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="audioflow", description=__doc__)
+    p.add_argument("--log-level", default="info")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("devices", help="list compute devices")
+    d.add_argument("--json", action="store_true")
+    d.set_defaults(fn=cmd_devices)
+
+    i = sub.add_parser("info", help="framework/platform info")
+    i.set_defaults(fn=cmd_info)
+
+    c = sub.add_parser("config", help="show/set/persist config")
+    c.add_argument("action", choices=["show", "set", "path"])
+    c.add_argument("key", nargs="?")
+    c.add_argument("value", nargs="?")
+    c.add_argument("--file")
+    c.set_defaults(fn=cmd_config)
+
+    r = sub.add_parser("run", help="run a graph over WAV files")
+    r.add_argument("--input", "-i", nargs="+", required=True)
+    r.add_argument("--output", "-o")
+    r.add_argument("--graph", "-g", default="logmel", choices=_GRAPHS)
+    r.add_argument("--spec", help="JSON GraphSpec file (overrides --graph)")
+    r.add_argument("--input-rate", type=int)
+    r.add_argument("--sharded", action="store_true", help="shard batch over all devices")
+    r.add_argument("--config")
+    r.add_argument("--stats")
+    r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("stream", help="streaming session over one WAV")
+    s.add_argument("--input", "-i", required=True)
+    s.add_argument("--output", "-o")
+    s.add_argument("--graph", "-g", default="logmel", choices=_GRAPHS)
+    s.add_argument("--chunk", type=int)
+    s.add_argument("--push-size", type=int)
+    s.add_argument("--config")
+    s.set_defaults(fn=cmd_stream)
+
+    v = sub.add_parser("vad", help="voice-activity segments of a WAV")
+    v.add_argument("--input", "-i", required=True)
+    v.add_argument("--threshold-db", type=float, default=-50.0)
+    v.set_defaults(fn=cmd_vad)
+
+    b = sub.add_parser("bench", help="throughput benchmarks")
+    b.add_argument("benchmark", nargs="?", default="logmel")
+    b.add_argument("--batch", type=int, default=0)
+    b.add_argument("--seconds", type=float, default=10.0)
+    b.add_argument("--sharded", action="store_true")
+    b.set_defaults(fn=cmd_bench)
+
+    val = sub.add_parser("validate", help="numerics validation report")
+    val.set_defaults(fn=cmd_validate)
+
+    args = p.parse_args(argv)
+    setup_logging(args.log_level)
+    try:
+        return args.fn(args)
+    except AudioFlowError as e:
+        _log.error("%s (%s, %s)", e.message, e.code.value, e.strategy.value)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

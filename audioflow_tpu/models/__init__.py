@@ -1,0 +1,23 @@
+"""Prebuilt pipeline families (the five benchmark configs, BASELINE.md) and a
+trainable feature-frontend for gradient-based use."""
+
+from .pipelines import (
+    eq_chain_graph,
+    log_mel_frontend,
+    master_chain_graph,
+    stft_magnitude_graph,
+    vad_graph,
+    wire_egress_graph,
+)
+from .trainable import TrainableFrontend, make_train_step
+
+__all__ = [
+    "TrainableFrontend",
+    "eq_chain_graph",
+    "log_mel_frontend",
+    "make_train_step",
+    "master_chain_graph",
+    "stft_magnitude_graph",
+    "vad_graph",
+    "wire_egress_graph",
+]

@@ -1,0 +1,118 @@
+"""Standard pipeline constructors — one per benchmark config (BASELINE.md)
+plus the reference's dictation front-path.
+
+Each returns a :class:`~audioflow_tpu.graph.Graph`; compile once, feed
+batches forever.
+"""
+
+from __future__ import annotations
+
+from ..graph import (
+    BiquadChain,
+    Graph,
+    Limiter,
+    Magnitude,
+    MelProject,
+    Power,
+    QuantizeI16,
+    Resample,
+    Stft,
+    Vad,
+    chain,
+)
+from ..ops import biquad as bq
+
+
+def stft_magnitude_graph(
+    sample_rate: int = 16000, n_fft: int = 1024, hop: int = 256, center: bool = True
+) -> Graph:
+    """Benchmark config 1: mono WAV -> STFT magnitude spectrogram."""
+    return chain(
+        Stft(n_fft, hop, center=center),
+        Magnitude(),
+        input_rate=sample_rate,
+        name="stft_magnitude",
+    )
+
+
+def log_mel_frontend(
+    input_rate: int = 44100,
+    target_rate: int = 16000,
+    n_fft: int = 1024,
+    hop: int = 256,
+    n_mels: int = 128,
+    resample_mode: str = "kaiser",
+    eq: tuple | None = None,
+    center: bool = False,
+) -> Graph:
+    """Benchmark config 2/5 and the flagship: decode -> polyphase resample ->
+    (optional EQ) -> STFT -> power -> 128-bin log-mel."""
+    nodes: list = []
+    if input_rate != target_rate:
+        nodes.append(Resample(input_rate, target_rate, resample_mode))
+    if eq:
+        nodes.append(BiquadChain(tuple(eq)))
+    nodes += [Stft(n_fft, hop, center=center), Power(), MelProject(n_mels=n_mels)]
+    return Graph(tuple(nodes), input_rate=input_rate, name="log_mel_frontend")
+
+
+def eq_bands_default(sample_rate: float) -> tuple:
+    """High-pass + 5-band parametric EQ (benchmark config 3's chain)."""
+    return (
+        bq.highpass(60.0, sample_rate),
+        bq.peaking(150.0, sample_rate, 2.0, 1.0),
+        bq.peaking(400.0, sample_rate, -3.0, 1.2),
+        bq.peaking(1000.0, sample_rate, 2.5, 0.9),
+        bq.peaking(3000.0, sample_rate, -2.0, 1.4),
+        bq.peaking(8000.0, sample_rate, 1.5, 1.0),
+    )
+
+
+def eq_chain_graph(sample_rate: int = 16000, bands: tuple | None = None) -> Graph:
+    return chain(
+        BiquadChain(bands or eq_bands_default(sample_rate)),
+        input_rate=sample_rate,
+        name="eq_chain",
+    )
+
+
+def master_chain_graph(
+    sample_rate: int = 16000,
+    bands: tuple | None = None,
+    limiter_db: float = -1.0,
+    release_ms: float = 50.0,
+) -> Graph:
+    """Benchmark config 3: high-pass + 5-band parametric EQ + limiter."""
+    return chain(
+        BiquadChain(bands or eq_bands_default(sample_rate)),
+        Limiter(limiter_db, release_ms),
+        input_rate=sample_rate,
+        name="master_chain",
+    )
+
+
+def vad_graph(
+    sample_rate: int = 16000,
+    frame_ms: int = 20,
+    threshold_db: float = -50.0,
+    smoothing_factor: float = 0.3,
+) -> Graph:
+    """Reference dictation front-path feature: frame-wise VAD states."""
+    frame_len = sample_rate * frame_ms // 1000
+    return chain(
+        Vad(frame_len, threshold_db, smoothing_factor),
+        input_rate=sample_rate,
+        name="vad",
+    )
+
+
+def wire_egress_graph(input_rate: int = 48000, target_rate: int = 16000) -> Graph:
+    """The reference's full device-side dictation path: 48k capture ->
+    16k resample -> i16 quantize (the bytes the wire codec base64s;
+    SURVEY §3.3)."""
+    return chain(
+        Resample(input_rate, target_rate, "cubic"),  # rubato-parity mode
+        QuantizeI16(),
+        input_rate=input_rate,
+        name="wire_egress",
+    )

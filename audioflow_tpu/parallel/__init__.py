@@ -1,0 +1,137 @@
+"""Multi-chip scaling: mesh construction, batch sharding over ICI, multi-host
+init, and per-lane fault masking.
+
+Design (SURVEY §2.6): the reference has *no* distributed compute — parallelism
+is introduced here, not ported. The workload is embarrassingly parallel over
+files, so the primary strategy is **data-parallel batch sharding**: a
+1-D ``Mesh(("data",))`` with inputs sharded on the leading (file) axis via
+``NamedSharding``. The hot path then has zero cross-chip dependencies;
+XLA inserts collectives only where an op genuinely mixes lanes (e.g. the
+gradient psum of :mod:`audioflow_tpu.models.trainable`, or a sharded mel
+contraction on a 2-D ("data","model") mesh). TP/PP/SP/EP have no counterpart
+in this workload and are deliberately out of scope.
+
+Multi-host (DCN) scaling uses ``jax.distributed`` initialization; batch lanes
+then span the global device set with the same NamedSharding.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..errors import AudioError, ErrorCode
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    axes: tuple[str, ...] = ("data",),
+    shape: tuple[int, ...] | None = None,
+    devices=None,
+) -> Mesh:
+    """Build a device mesh.
+
+    1-D ``("data",)`` by default (pure DP). Pass ``axes=("data", "model")``
+    and ``shape`` for a 2-D mesh when an op-sharded dimension is wanted.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        if n_devices > len(devs):
+            raise AudioError(
+                f"requested {n_devices} devices, have {len(devs)}",
+                code=ErrorCode.DEVICE_UNAVAILABLE,
+            )
+        devs = devs[:n_devices]
+    if shape is None:
+        shape = (len(devs),) + (1,) * (len(axes) - 1)
+    if int(np.prod(shape)) != len(devs):
+        raise AudioError(
+            f"mesh shape {shape} != device count {len(devs)}",
+            code=ErrorCode.DEVICE_UNAVAILABLE,
+        )
+    return Mesh(np.asarray(devs).reshape(shape), axes)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2, axis: str = "data") -> NamedSharding:
+    """Shard the leading (file/batch) axis; replicate everything else."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def shard_batch(x, mesh: Mesh, axis: str = "data"):
+    """Place ``x [batch, ...]`` sharded over the mesh's data axis.
+
+    The batch dimension must divide by the axis size (pad upstream with
+    :func:`pad_batch`).
+    """
+    size = mesh.shape[axis]
+    if x.shape[0] % size:
+        raise AudioError(
+            f"batch {x.shape[0]} not divisible by data-axis size {size}; pad first",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+    return jax.device_put(x, batch_sharding(mesh, np.ndim(x), axis))
+
+
+def pad_batch(x: np.ndarray, mesh: Mesh, axis: str = "data") -> tuple[np.ndarray, np.ndarray]:
+    """Zero-pad the batch to a multiple of the data-axis size.
+
+    Returns (padded, valid_mask[batch_padded] bool).
+    """
+    size = mesh.shape[axis]
+    b = x.shape[0]
+    target = -(-b // size) * size
+    mask = np.zeros(target, dtype=bool)
+    mask[:b] = True
+    if target != b:
+        pad = [(0, target - b)] + [(0, 0)] * (x.ndim - 1)
+        x = np.pad(x, pad)
+    return x, mask
+
+
+def compile_sharded(graph, mesh: Mesh, axis: str = "data", donate: bool = False):
+    """Jit a Graph's chain with the input batch sharded over ICI.
+
+    Output shardings are left to XLA (it propagates the batch sharding
+    through the embarrassingly-parallel chain, so no collectives appear on
+    the hot path).
+    """
+    in_sh = NamedSharding(mesh, P(axis))  # leading axis sharded, rest replicated
+
+    fn = jax.jit(
+        graph.chain,
+        in_shardings=(NamedSharding(mesh, P(axis, None)),),
+        donate_argnums=(0,) if donate else (),
+    )
+    del in_sh
+    return fn
+
+
+def mask_lanes(out, valid_mask) -> tuple:
+    """Per-lane fault isolation (SURVEY §5.3): zero out failed/padded lanes.
+
+    ``valid_mask [batch]`` — False lanes (bad decode, padding) are zeroed so a
+    bad file never aborts the batch; callers filter by the mask on the host.
+    """
+    import jax.numpy as jnp
+
+    m = jnp.asarray(valid_mask)
+    shape = (-1,) + (1,) * (out.ndim - 1)
+    return out * m.reshape(shape).astype(out.dtype), m
+
+
+def multihost_init(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None):
+    """Initialize multi-host (DCN) JAX. No-op when already initialized or
+    running single-process. Mirrors the standard jax.distributed recipe."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        # already initialized or single-process local run
+        pass

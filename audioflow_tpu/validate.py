@@ -1,0 +1,131 @@
+"""Numerics validation: max|delta| of every kernel vs an independent float64
+serial oracle (numpy only — no scipy dependency in the package). The headline
+budget is max abs err < 1e-4 (BASELINE.md)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from . import ops
+from .ops.resample import cubic_lagrange_bank, kaiser_sinc_bank
+from .utils import cdiv, rational_rate
+
+
+def _oracle_lfilter(b, a, x):
+    """Direct-form II transposed, float64, serial."""
+    y = np.zeros_like(x, dtype=np.float64)
+    s1 = s2 = 0.0
+    for n, xn in enumerate(x):
+        yn = b[0] * xn + s1
+        s1 = b[1] * xn - a[1] * yn + s2
+        s2 = b[2] * xn - a[2] * yn
+        y[n] = yn
+    return y
+
+
+def _oracle_polyphase(x, bank, up, down, offset, n_out):
+    k = bank.shape[1]
+    xp = np.pad(x.astype(np.float64), (max(0, -offset), k + up))
+    y = np.zeros(n_out)
+    for n in range(n_out):
+        q = (n * down) // up + offset + max(0, -offset)
+        p = (n * down) % up
+        y[n] = bank[p] @ xp[q : q + k]
+    return y
+
+
+def run_validation(seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    report: dict = {}
+
+    # resample kaiser
+    x = rng.standard_normal(4096).astype(np.float32)
+    up, down = rational_rate(44100, 16000)
+    bank = kaiser_sinc_bank(up, down, 16)
+    got = np.asarray(ops.resample(jnp.asarray(x), 44100, 16000, "kaiser"))
+    want = _oracle_polyphase(x, bank, up, down, -16, cdiv(len(x) * up, down))
+    report["resample_kaiser"] = float(np.abs(got - want).max())
+
+    # resample cubic (rubato-parity polynomial)
+    bank_c = cubic_lagrange_bank(up)
+    got = np.asarray(ops.resample(jnp.asarray(x), 44100, 16000, "cubic"))
+    want = _oracle_polyphase(x, bank_c, up, down, -1, cdiv(len(x) * up, down))
+    report["resample_cubic"] = float(np.abs(got - want).max())
+
+    # biquad chain
+    chain = (
+        ops.highpass(80.0, 16000.0),
+        ops.peaking(1000.0, 16000.0, 4.0, 1.0),
+        ops.peaking(3000.0, 16000.0, -3.0, 1.2),
+    )
+    xb = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+    got, _ = ops.biquad_chain(jnp.asarray(xb), chain)
+    want = xb.astype(np.float64)
+    for bq in chain:
+        b, a = bq.as_ba()
+        want = _oracle_lfilter(b, a, want)
+    report["biquad_chain"] = float(np.abs(np.asarray(got) - want).max())
+
+    # stft magnitude
+    w = ops.get_window("hann", 512)
+    frames = np.stack([xb[i * 128 : i * 128 + 512] for i in range(20)])
+    want = np.abs(np.fft.rfft(frames * w, axis=-1))
+    got = np.asarray(ops.magnitude(ops.stft(jnp.asarray(xb[: 20 * 128 + 512 - 128]), 512, 128, center=False)))[:20]
+    report["stft_magnitude"] = float(np.abs(got - want).max() / max(want.max(), 1e-9))
+
+    # mel projection
+    fb = ops.mel_filterbank(257, 64, 16000, dtype=np.float64)
+    spec = rng.random((20, 257)).astype(np.float32)
+    got = np.asarray(ops.apply_mel(jnp.asarray(spec), fb.astype(np.float32)))
+    want = spec.astype(np.float64) @ fb
+    report["mel_project"] = float(np.abs(got - want).max())
+
+    # quantize: exact
+    xq = rng.uniform(-1.2, 1.2, 1000).astype(np.float32)
+    got = np.asarray(ops.quantize_i16(jnp.asarray(xq)))
+    want = np.trunc(np.clip(xq, -1, 1).astype(np.float64) * 32767).astype(np.int16)
+    report["quantize_i16"] = float(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+
+    # vad state equality over random frames
+    from .ops.vad import VadConfig
+
+    frames = (rng.standard_normal((100, 160)) * rng.choice([0.001, 0.1], 100)[:, None]).astype(
+        np.float32
+    )
+    cfg = VadConfig(threshold_db=-35.0)
+    _, states = ops.vad_scan(jnp.asarray(frames), cfg)
+    # serial oracle
+    sm, sil, spc, st = 0.0, 0, 0, 0
+    mism = 0
+    for i, f in enumerate(frames):
+        e = float((f.astype(np.float64) ** 2).mean())
+        sm = cfg.smoothing_factor * e + (1 - cfg.smoothing_factor) * sm
+        det = sm if cfg.smoothing_factor > 0 else e
+        db = 20 * np.log10(det) if det > 0 else -np.inf
+        isp = db > cfg.threshold_db
+        if st == 0:
+            if isp:
+                spc, sil, st = 1, 0, 1
+        elif st == 1:
+            if isp:
+                spc, sil = spc + 1, 0
+            else:
+                sil += 1
+                if sil >= cfg.silence_timeout_frames:
+                    st = 2 if spc >= cfg.min_speech_frames else 0
+                    spc = 0
+        else:
+            st, sil = 0, 0
+        mism += int(st != int(states[i]))
+    report["vad_state_mismatches"] = mism
+
+    float_keys = [k for k in report if k not in ("vad_state_mismatches", "quantize_i16")]
+    report["max_abs_err"] = max(report[k] for k in float_keys)
+    report["pass"] = bool(
+        report["max_abs_err"] < 1e-4
+        and report["vad_state_mismatches"] == 0
+        and report["quantize_i16"] == 0
+    )
+    return report

@@ -1,0 +1,194 @@
+// Native WAV batch decoder for audioflow_tpu.
+//
+// The host must feed >=16M decoded samples/sec/chip to hit the 1000x-realtime
+// target (SURVEY §7.3 #5), so decode+downmix+pad for a whole file batch runs
+// here: multithreaded, one pass, writing straight into the padded [batch, T]
+// float32 staging buffer that jax.device_put ships to HBM. This is the
+// TPU-native counterpart of the reference's native (Rust) audio ingest
+// (capture.rs); contract mirrors audioflow_tpu/io/wav.py, which is the
+// tested oracle.
+//
+// Build: make -C native   (produces libwavcodec.so next to io/)
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr uint16_t FMT_PCM = 1;
+constexpr uint16_t FMT_FLOAT = 3;
+constexpr uint16_t FMT_EXTENSIBLE = 0xFFFE;
+
+struct WavInfo {
+  int32_t rate = 0, channels = 0, bits = 0, fmt = 0;
+  int64_t n_frames = 0, data_offset = 0, data_size = 0;
+};
+
+inline uint16_t rd16(const uint8_t* p) { uint16_t v; std::memcpy(&v, p, 2); return v; }
+inline uint32_t rd32(const uint8_t* p) { uint32_t v; std::memcpy(&v, p, 4); return v; }
+
+int probe(const uint8_t* buf, int64_t len, WavInfo* out) {
+  if (len < 12 || std::memcmp(buf, "RIFF", 4) || std::memcmp(buf + 8, "WAVE", 4))
+    return -1;
+  int64_t pos = 12;
+  bool have_fmt = false, have_data = false;
+  while (pos + 8 <= len) {
+    const uint8_t* cid = buf + pos;
+    uint32_t size = rd32(buf + pos + 4);
+    int64_t body = pos + 8;
+    if (!std::memcmp(cid, "fmt ", 4) && size >= 16 && body + 16 <= len) {
+      out->fmt = rd16(buf + body);
+      out->channels = rd16(buf + body + 2);
+      out->rate = (int32_t)rd32(buf + body + 4);
+      out->bits = rd16(buf + body + 14);
+      if (out->fmt == FMT_EXTENSIBLE && size >= 40 && body + 26 <= len)
+        out->fmt = rd16(buf + body + 24);
+      have_fmt = true;
+    } else if (!std::memcmp(cid, "data", 4)) {
+      out->data_offset = body;
+      out->data_size = std::min<int64_t>(size, len - body);
+      have_data = true;
+    }
+    pos = body + size + (size & 1);
+  }
+  if (!have_fmt || !have_data) return -1;
+  if (out->fmt != FMT_PCM && out->fmt != FMT_FLOAT) return -2;
+  if (out->bits != 8 && out->bits != 16 && out->bits != 24 && out->bits != 32 &&
+      out->bits != 64)
+    return -2;
+  if (out->channels <= 0) return -1;
+  int64_t frame_bytes = (int64_t)out->channels * (out->bits / 8);
+  out->n_frames = frame_bytes ? out->data_size / frame_bytes : 0;
+  return 0;
+}
+
+// Decode one file's payload to mono float32 (channel mean), writing up to
+// `cap` frames into dst. Returns frames written, or -1 on error.
+int64_t decode_mono(const uint8_t* buf, int64_t len, const WavInfo& w, float* dst,
+                    int64_t cap) {
+  const uint8_t* p = buf + w.data_offset;
+  int64_t n = std::min(w.n_frames, cap);
+  int ch = w.channels;
+  float inv_ch = 1.0f / (float)ch;
+  if (w.fmt == FMT_FLOAT && w.bits == 32) {
+    for (int64_t i = 0; i < n; ++i) {
+      float acc = 0.f;
+      for (int c = 0; c < ch; ++c) {
+        float v; std::memcpy(&v, p + (i * ch + c) * 4, 4);
+        acc += v;
+      }
+      dst[i] = acc * inv_ch;
+    }
+  } else if (w.fmt == FMT_FLOAT && w.bits == 64) {
+    for (int64_t i = 0; i < n; ++i) {
+      double acc = 0.0;
+      for (int c = 0; c < ch; ++c) {
+        double v; std::memcpy(&v, p + (i * ch + c) * 8, 8);
+        acc += v;
+      }
+      dst[i] = (float)(acc * inv_ch);
+    }
+  } else if (w.bits == 16) {
+    constexpr float k = 1.0f / 32768.0f;
+    if (ch == 1) {
+      for (int64_t i = 0; i < n; ++i) {
+        int16_t v; std::memcpy(&v, p + i * 2, 2);
+        dst[i] = (float)v * k;
+      }
+    } else {
+      for (int64_t i = 0; i < n; ++i) {
+        float acc = 0.f;
+        for (int c = 0; c < ch; ++c) {
+          int16_t v; std::memcpy(&v, p + (i * ch + c) * 2, 2);
+          acc += (float)v;
+        }
+        dst[i] = acc * k * inv_ch;
+      }
+    }
+  } else if (w.bits == 32) {
+    constexpr float k = 1.0f / 2147483648.0f;
+    for (int64_t i = 0; i < n; ++i) {
+      float acc = 0.f;
+      for (int c = 0; c < ch; ++c) {
+        int32_t v; std::memcpy(&v, p + (i * ch + c) * 4, 4);
+        acc += (float)v * k;
+      }
+      dst[i] = acc * inv_ch;
+    }
+  } else if (w.bits == 24) {
+    constexpr float k = 1.0f / 8388608.0f;
+    for (int64_t i = 0; i < n; ++i) {
+      float acc = 0.f;
+      for (int c = 0; c < ch; ++c) {
+        const uint8_t* q = p + (i * ch + c) * 3;
+        int32_t v = (int32_t)q[0] | ((int32_t)q[1] << 8) | ((int32_t)q[2] << 16);
+        v = (v << 8) >> 8;  // sign-extend
+        acc += (float)v * k;
+      }
+      dst[i] = acc * inv_ch;
+    }
+  } else if (w.bits == 8) {
+    constexpr float k = 1.0f / 128.0f;
+    for (int64_t i = 0; i < n; ++i) {
+      float acc = 0.f;
+      for (int c = 0; c < ch; ++c)
+        acc += ((float)p[(i * ch + c)] - 128.0f) * k;
+      dst[i] = acc * inv_ch;
+    }
+  } else {
+    return -1;
+  }
+  return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+int afw_probe(const uint8_t* buf, int64_t len, int32_t* rate, int32_t* channels,
+              int32_t* bits, int32_t* fmt, int64_t* n_frames, int64_t* data_offset) {
+  WavInfo w;
+  int rc = probe(buf, len, &w);
+  if (rc != 0) return rc;
+  *rate = w.rate; *channels = w.channels; *bits = w.bits; *fmt = w.fmt;
+  *n_frames = w.n_frames; *data_offset = w.data_offset;
+  return 0;
+}
+
+// Decode nfiles WAV buffers to mono f32 into out[b * stride], zero-padded.
+// out_frames[b] = decoded frame count (or -1 on per-file failure: the lane is
+// zeroed, never aborting the batch — per-lane fault isolation, SURVEY §5.3).
+// rates[b] = sample rate (0 on failure).
+int afw_decode_batch_mono(const uint8_t** bufs, const int64_t* lens, int32_t nfiles,
+                          float* out, int64_t stride, int64_t* out_frames,
+                          int32_t* rates, int32_t n_threads) {
+  if (n_threads <= 0)
+    n_threads = (int32_t)std::max(1u, std::thread::hardware_concurrency());
+  n_threads = std::min<int32_t>(n_threads, std::max<int32_t>(1, nfiles));
+  std::vector<std::thread> workers;
+  std::atomic<int32_t> next{0};
+  auto work = [&]() {
+    for (;;) {
+      int32_t b = next.fetch_add(1);
+      if (b >= nfiles) break;
+      float* dst = out + (int64_t)b * stride;
+      std::memset(dst, 0, sizeof(float) * stride);
+      WavInfo w;
+      if (probe(bufs[b], lens[b], &w) != 0) {
+        out_frames[b] = -1; rates[b] = 0;
+        continue;
+      }
+      int64_t n = decode_mono(bufs[b], lens[b], w, dst, stride);
+      out_frames[b] = n; rates[b] = w.rate;
+    }
+  };
+  for (int32_t t = 0; t < n_threads; ++t) workers.emplace_back(work);
+  for (auto& t : workers) t.join();
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,112 @@
+import numpy as np
+import pytest
+
+from audioflow_tpu.errors import IOError_
+from audioflow_tpu.io import BatchLoader, decode_batch, native, probe, read_wav, write_wav
+
+
+def _tone(n=1600, sr=16000, f=440.0, amp=0.5, ch=1):
+    t = np.arange(n) / sr
+    x = amp * np.sin(2 * np.pi * f * t).astype(np.float32)
+    if ch > 1:
+        x = np.stack([x * (c + 1) / ch for c in range(ch)], axis=1)
+    return x
+
+
+@pytest.mark.parametrize("bits", [16, 32])
+@pytest.mark.parametrize("ch", [1, 2])
+def test_wav_round_trip(tmp_path, bits, ch):
+    x = _tone(ch=ch)
+    p = tmp_path / "t.wav"
+    write_wav(p, x, 16000, bits=bits)
+    y, rate = read_wav(p)
+    assert rate == 16000
+    assert y.shape == x.shape
+    tol = 1.5 / 32767 if bits == 16 else 1e-7
+    np.testing.assert_allclose(y, x, atol=tol)
+
+
+def test_probe(tmp_path):
+    p = tmp_path / "t.wav"
+    write_wav(p, _tone(n=1234), 44100, bits=16)
+    info = probe(p.read_bytes())
+    assert info.sample_rate == 44100 and info.channels == 1
+    assert info.n_frames == 1234 and info.bits == 16
+
+
+def test_read_missing_file():
+    with pytest.raises(IOError_):
+        read_wav("/nonexistent/file.wav")
+
+
+def test_read_garbage():
+    with pytest.raises(IOError_):
+        read_wav(b"this is not a wav file at all.........")
+
+
+def test_24bit_decode(tmp_path):
+    """Hand-build a 24-bit PCM file; check sign extension."""
+    import struct
+
+    vals = np.array([0, 8388607, -8388608, 4194304], dtype=np.int64)
+    payload = b"".join(struct.pack("<i", int(v) << 8)[1:4] for v in vals)
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 16000 * 3, 3, 24)
+    hdr += b"data" + struct.pack("<I", len(payload))
+    y, rate = read_wav(hdr + payload)
+    np.testing.assert_allclose(y, vals / 8388608.0, atol=1e-7)
+
+
+def test_decode_batch_with_bad_lane(tmp_path):
+    good = tmp_path / "good.wav"
+    write_wav(good, _tone(800), 16000)
+    batch = decode_batch([good, b"garbage", good], use_native=False)
+    assert list(batch.valid) == [True, False, True]
+    assert batch.lengths[1] == 0
+    assert batch.samples[1].sum() == 0
+    assert batch.samples.shape[1] % 128 == 0
+    assert batch.audio_seconds == pytest.approx(0.1, abs=1e-6)
+
+
+@pytest.mark.skipif(not native.available(), reason="native decoder not built")
+def test_native_matches_numpy(tmp_path):
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, (ch, bits, n) in enumerate([(1, 16, 777), (2, 16, 1500), (1, 32, 640)]):
+        x = (rng.uniform(-0.9, 0.9, (n, ch)).astype(np.float32)) if ch > 1 else rng.uniform(
+            -0.9, 0.9, n
+        ).astype(np.float32)
+        p = tmp_path / f"f{i}.wav"
+        write_wav(p, x, 16000, bits=bits)
+        paths.append(p)
+    a = decode_batch(paths, use_native=True)
+    b = decode_batch(paths, use_native=False)
+    assert a.samples.shape == b.samples.shape
+    np.testing.assert_allclose(a.samples, b.samples, atol=2e-7)
+    np.testing.assert_array_equal(a.lengths, b.lengths)
+    np.testing.assert_array_equal(a.rates, b.rates)
+
+
+@pytest.mark.skipif(not native.available(), reason="native decoder not built")
+def test_native_bad_lane_isolated():
+    out, frames, rates = native.decode_batch_mono([b"nope", b""], stride=256)
+    assert frames[0] == -1 and frames[1] == -1
+    assert out.sum() == 0
+
+
+def test_batch_loader_prefetch(tmp_path):
+    paths = []
+    for i in range(7):
+        p = tmp_path / f"{i}.wav"
+        write_wav(p, _tone(n=320 + i * 16), 16000)
+        paths.append(p)
+    loader = BatchLoader(paths, batch_size=3, use_native=False)
+    batches = list(loader)
+    assert len(batches) == 3 == len(loader)
+    assert [b.samples.shape[0] for b in batches] == [3, 3, 1]
+    assert all(b.valid.all() for b in batches)
+
+
+def test_batch_loader_bad_batch_size():
+    with pytest.raises(IOError_):
+        BatchLoader([], 0)

@@ -1,0 +1,191 @@
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audioflow_tpu.cli import main as cli_main
+from audioflow_tpu.io import write_wav
+from audioflow_tpu.models import (
+    TrainableFrontend,
+    log_mel_frontend,
+    make_train_step,
+    master_chain_graph,
+    stft_magnitude_graph,
+    vad_graph,
+    wire_egress_graph,
+)
+
+
+def test_pipeline_shapes(rng):
+    x = jnp.asarray(rng.standard_normal((2, 44100)).astype(np.float32))
+    g = log_mel_frontend(44100, 16000, 1024, 256, 128)
+    out = g.compile()(x)
+    assert out.shape == (2, (16000 - 1024) // 256 + 1, 128)
+    g1 = stft_magnitude_graph(16000, 1024, 256)
+    out1 = g1.compile()(x[:, :16000])
+    assert out1.shape[-1] == 513
+    g3 = master_chain_graph(16000)
+    _, y = g3.nodes[0].step(g3.nodes[0].init_carry((2,), 16000), x[:, :16000])
+    assert y.shape == (2, 16000)
+
+
+def test_wire_egress_graph(rng):
+    g = wire_egress_graph(48000, 16000)
+    x = jnp.asarray(rng.uniform(-0.8, 0.8, 4800).astype(np.float32))
+    out = np.asarray(g.compile()(x))
+    assert out.dtype == np.int16 and out.shape == (1600,)
+
+
+def test_trainable_frontend_learns(rng):
+    """Loss decreases over a few steps on a separable toy problem."""
+    import optax
+
+    model = TrainableFrontend(n_fft=256, hop=128, n_mels=16, n_classes=2)
+    params = model.init_params()
+    step, optimizer = make_train_step(model, optimizer=optax.adam(3e-2))
+    opt_state = optimizer.init(params)
+    t = np.arange(4096) / 16000
+    lo = 0.4 * np.sin(2 * np.pi * 300 * t)
+    hi = 0.4 * np.sin(2 * np.pi * 3000 * t)
+    x = jnp.asarray(np.stack([lo, hi, lo, hi]).astype(np.float32))
+    y = jnp.asarray(np.array([0, 1, 0, 1], np.int32))
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5
+
+
+def test_trainable_sharded_matches_single(rng):
+    from audioflow_tpu.parallel import make_mesh, shard_batch
+
+    model = TrainableFrontend(n_fft=256, hop=128, n_mels=8, n_classes=2)
+    params = model.init_params()
+    x = rng.standard_normal((8, 2048)).astype(np.float32)
+    y = rng.integers(0, 2, 8).astype(np.int32)
+    step_s, opt = make_train_step(model, mesh=make_mesh())
+    step_1, _ = make_train_step(model)
+    o1 = opt.init(params)
+    p_s, _, loss_s = step_s(params, o1, shard_batch(x, make_mesh()), shard_batch(y, make_mesh()))
+    p_1, _, loss_1 = step_1(params, opt.init(params), jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_s["b"]), np.asarray(p_1["b"]), atol=1e-6)
+
+
+def test_graft_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    import jax
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == 4
+
+
+def test_graft_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_validation_report():
+    from audioflow_tpu.validate import run_validation
+
+    rep = run_validation()
+    assert rep["pass"], rep
+    assert rep["max_abs_err"] < 1e-4
+    assert rep["quantize_i16"] == 0
+    assert rep["vad_state_mismatches"] == 0
+
+
+# ------------------------------------------------------------------- CLI
+
+def _tone_wav(path, n=44100, rate=44100):
+    t = np.arange(n) / rate
+    write_wav(path, (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), rate)
+
+
+def test_cli_info(capsys):
+    assert cli_main(["info"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["name"] == "audioflow-tpu"
+
+
+def test_cli_devices(capsys):
+    assert cli_main(["devices"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 8  # virtual CPU mesh
+
+
+def test_cli_run_logmel(tmp_path, capsys):
+    wavs = []
+    for i in range(3):
+        p = tmp_path / f"{i}.wav"
+        _tone_wav(p)
+        wavs.append(str(p))
+    out_npy = tmp_path / "out.npy"
+    rc = cli_main(
+        ["run", "-i", *wavs, "-o", str(out_npy), "-g", "logmel", "--stats", str(tmp_path / "s.json")]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["files"] == 3 and res["failed_files"] == 0
+    arr = np.load(out_npy)
+    assert arr.shape[0] == 3 and arr.shape[2] == 128
+
+
+def test_cli_run_sharded(tmp_path, capsys):
+    wavs = []
+    for i in range(4):
+        p = tmp_path / f"{i}.wav"
+        _tone_wav(p, n=22050)
+        wavs.append(str(p))
+    rc = cli_main(["run", "-i", *wavs, "-g", "stft", "--sharded", "--stats", str(tmp_path / "s.json")])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["n_devices"] == 8
+
+
+def test_cli_stream(tmp_path, capsys):
+    p = tmp_path / "in.wav"
+    _tone_wav(p, n=44100 * 2)
+    rc = cli_main(["stream", "-i", str(p), "-g", "logmel"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["chunks"] >= 1 and res["audio_seconds"] == pytest.approx(2.0)
+
+
+def test_cli_vad(tmp_path, capsys):
+    rate = 16000
+    seg = np.concatenate(
+        [np.zeros(rate // 2), 0.4 * np.sin(2 * np.pi * 300 * np.arange(rate) / rate), np.zeros(rate)]
+    ).astype(np.float32)
+    p = tmp_path / "v.wav"
+    write_wav(p, seg, rate)
+    assert cli_main(["vad", "-i", str(p)]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert len(res["speech_segments"]) == 1
+    assert res["speech_segments"][0]["start_s"] == pytest.approx(0.5, abs=0.1)
+
+
+def test_cli_config_round_trip(tmp_path, capsys):
+    f = str(tmp_path / "c.toml")
+    assert cli_main(["config", "set", "audio.n_mels", "80", "--file", f]) == 0
+    capsys.readouterr()
+    assert cli_main(["config", "show", "--file", f]) == 0
+    cfg = json.loads(capsys.readouterr().out)
+    assert cfg["audio"]["n_mels"] == 80
+
+
+def test_cli_validate(capsys):
+    assert cli_main(["validate"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["pass"]
