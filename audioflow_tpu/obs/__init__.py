@@ -7,12 +7,16 @@ the DSP path — is added here because the north-star metric is
 audio-seconds/sec/chip.
 """
 
+from .lifecycle import AppDirs, AppPhase, LifecycleManager
+from .logging import get_logger, setup_logging
 from .metrics import RunMetrics, Timer, measure_throughput
 from .profiling import profile_trace
 from .stats import StatsFile, default_stats_path
-from .logging import get_logger, setup_logging
 
 __all__ = [
+    "AppDirs",
+    "AppPhase",
+    "LifecycleManager",
     "RunMetrics",
     "StatsFile",
     "Timer",

@@ -5,7 +5,7 @@ Everything here is pure-functional jnp/Pallas code with static shapes, meant
 to be composed by :mod:`audioflow_tpu.graph` into one jitted XLA program.
 """
 
-from . import biquad, dynamics, framing, mel, phase_vocoder, quantize, resample, stft, vad, windows
+from . import biquad, dynamics, framing, mel, phase_vocoder, quantize, resample, ring, stft, vad, windows
 from .biquad import (
     Biquad,
     allpass,
@@ -35,6 +35,7 @@ from .mel import apply_mel, dct_matrix, log_mel, mel_filterbank, mfcc
 from .phase_vocoder import phase_vocoder, pitch_shift, time_stretch
 from .quantize import dequantize_i16, quantize_i16, quantize_i16_round
 from .resample import ResamplePlan, make_plan, resample, resample_apply
+from .ring import Ring, ring_available, ring_clear, ring_free, ring_init, ring_read, ring_write
 from .stft import istft, magnitude, power, stft
 from .vad import VAD_LEVELS, VadCarry, VadConfig, is_speaking, vad_init, vad_scan, vad_step
 from .windows import get_window

@@ -106,6 +106,9 @@ class StreamSession:
         self._step = self.graph.compile_stream(donate=False)
         self._carry = self.graph.init_state(self.chunk_in, self.lead_shape, self.dtype)
         self.state = SessionState.OPEN
+        from .registry import REGISTRY
+
+        REGISTRY.register(self)
         self.events.emit_session_state("open", chunk_in=self.chunk_in)
         return self
 
@@ -209,6 +212,9 @@ class StreamSession:
             self.stats.record_run(audio_s)
             self.stats.save()
         self.state = SessionState.CLOSED
+        from .registry import REGISTRY
+
+        REGISTRY.unregister(self)
         self.events.emit_session_state("closed")
         _log.info("session closed: %d chunks, %.2f audio-s", self._chunk_index, audio_s)
         return {"chunks": self._chunk_index, "audio_seconds": audio_s}
