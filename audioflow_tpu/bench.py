@@ -68,7 +68,7 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
     elif name in ("streaming", "config5"):
         from .graph import chain as _chain
         from .models import eq_bands_default
-        from .graph import BiquadChain, MelProject, Power, Resample, Stft
+        from .graph import BiquadChain, MelProject, Resample, Spectrogram
 
         batch = batch or 256
         rate = 44100
@@ -76,8 +76,7 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
         g = _chain(
             Resample(rate, 16000, "kaiser"),
             BiquadChain(eq_bands_default(16000.0)),
-            Stft(1024, 256, center=False),
-            Power(),
+            Spectrogram(1024, 256, center=False),
             MelProject(n_mels=128),
             input_rate=rate,
         )

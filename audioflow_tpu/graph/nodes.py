@@ -305,6 +305,57 @@ class Stft(Node):
 
 @register_node
 @dataclass(frozen=True)
+class Spectrogram(Node):
+    """Fused power/magnitude spectrogram: windowed real DFT as two MXU
+    matmuls (impl='matmul', ~1.5x faster than XLA FFT on v5e) or via rfft.
+    Streaming semantics identical to Stft."""
+
+    n_fft: int = 1024
+    hop: int = 256
+    window: str = "hann"
+    center: bool = True
+    power: bool = True
+    impl: str = "matmul"
+
+    domain_out = "frames"
+
+    def apply(self, x):
+        return ops.spectrogram(
+            x, self.n_fft, self.hop, self.window,
+            center=self.center, power=self.power, impl=self.impl,
+        )
+
+    def chunk_multiple(self):
+        return self.hop
+
+    def validate_chunk(self, n_in):
+        super().validate_chunk(n_in)
+        if self.n_fft % self.hop:
+            raise AudioError(
+                "streaming Spectrogram requires hop | n_fft",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+
+    def out_len(self, n_in):
+        return n_in // self.hop
+
+    def latency(self, n_in):
+        return self.n_fft // self.hop - 1
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros((*lead_shape, self.n_fft - self.hop), dtype)
+
+    def step(self, carry, chunk):
+        buf = jnp.concatenate([carry, chunk], axis=-1)
+        spec = ops.spectrogram(
+            buf, self.n_fft, self.hop, self.window,
+            center=False, power=self.power, impl=self.impl,
+        )
+        return buf[..., buf.shape[-1] - (self.n_fft - self.hop) :], spec
+
+
+@register_node
+@dataclass(frozen=True)
 class Magnitude(Node):
     domain_in = "frames"
     domain_out = "frames"

@@ -16,6 +16,7 @@ from ..graph import (
     Power,
     QuantizeI16,
     Resample,
+    Spectrogram,
     Stft,
     Vad,
     chain,
@@ -26,10 +27,13 @@ from ..ops import biquad as bq
 def stft_magnitude_graph(
     sample_rate: int = 16000, n_fft: int = 1024, hop: int = 256, center: bool = True
 ) -> Graph:
-    """Benchmark config 1: mono WAV -> STFT magnitude spectrogram."""
+    """Benchmark config 1: mono WAV -> STFT magnitude spectrogram.
+
+    Uses the matmul-DFT implementation; `Stft()+Magnitude()` gives the same
+    result via XLA's FFT when the complex spectrum is needed downstream.
+    """
     return chain(
-        Stft(n_fft, hop, center=center),
-        Magnitude(),
+        Spectrogram(n_fft, hop, center=center, power=False),
         input_rate=sample_rate,
         name="stft_magnitude",
     )
@@ -52,7 +56,7 @@ def log_mel_frontend(
         nodes.append(Resample(input_rate, target_rate, resample_mode))
     if eq:
         nodes.append(BiquadChain(tuple(eq)))
-    nodes += [Stft(n_fft, hop, center=center), Power(), MelProject(n_mels=n_mels)]
+    nodes += [Spectrogram(n_fft, hop, center=center, power=True), MelProject(n_mels=n_mels)]
     return Graph(tuple(nodes), input_rate=input_rate, name="log_mel_frontend")
 
 

@@ -36,7 +36,7 @@ from .phase_vocoder import phase_vocoder, pitch_shift, time_stretch
 from .quantize import dequantize_i16, quantize_i16, quantize_i16_round
 from .resample import ResamplePlan, make_plan, resample, resample_apply
 from .ring import Ring, ring_available, ring_clear, ring_free, ring_init, ring_read, ring_write
-from .stft import istft, magnitude, power, stft
+from .stft import istft, magnitude, power, spectrogram, stft
 from .vad import VAD_LEVELS, VadCarry, VadConfig, is_speaking, vad_init, vad_scan, vad_step
 from .windows import get_window
 

@@ -169,23 +169,31 @@ def make_plan(
     return ResamplePlan(L, M, offset, g, ipb, k_taps, w)
 
 
-def _window_blocks(x: jnp.ndarray, n_blocks: int, ipb: int, width: int) -> jnp.ndarray:
-    """[..., T] -> [..., n_blocks, width] windows at stride ipb (width >= ipb).
+def _banded_matmul(
+    x: jnp.ndarray, w: jnp.ndarray, n_blocks: int, ipb: int, dtype
+) -> jnp.ndarray:
+    """Compute ``windows(x) @ w`` without materializing the windows.
 
-    Built from ceil(width/ipb) shifted reshapes + one concat — no gather, so
-    XLA fuses it into the following matmul's operand read.
+    ``w [width, G]`` acts on overlapped windows of ``x`` at stride ``ipb``
+    (width >= ipb). Decompose the band into ceil(width/ipb) segments, each a
+    matmul whose left operand is a cheap shifted *reshape* of ``x`` — the
+    full [..., n_blocks, width] window tensor (roughly width/ipb times the
+    signal) never hits HBM.
     """
+    width = w.shape[0]
     need = n_blocks * ipb + width
     t = x.shape[-1]
     if t < need:
         pads = [(0, 0)] * (x.ndim - 1) + [(0, need - t)]
         x = jnp.pad(x, pads)
-    parts = []
+    w = jnp.asarray(w, dtype)
+    y = None
     for j0 in range(0, width, ipb):
         w_j = min(ipb, width - j0)
         seg = x[..., j0 : j0 + n_blocks * ipb].reshape(*x.shape[:-1], n_blocks, ipb)
-        parts.append(seg[..., :w_j])
-    return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+        part = mm(seg[..., :w_j], w[j0 : j0 + w_j])
+        y = part if y is None else y + part
+    return y
 
 
 def resample_apply(x: jnp.ndarray, plan: ResamplePlan, n_out: int | None = None) -> jnp.ndarray:
@@ -199,9 +207,8 @@ def resample_apply(x: jnp.ndarray, plan: ResamplePlan, n_out: int | None = None)
         pads = [(0, 0)] * (x.ndim - 1) + [(lp, 0)]
         x = jnp.pad(x, pads)
     n_blocks = cdiv(n_out, plan.block_out)
-    win = _window_blocks(x, n_blocks, plan.ipb, plan.ipb + plan.k_taps)
-    w = jnp.asarray(plan.matrix, dtype=x.dtype if x.dtype != jnp.float64 else jnp.float32)
-    y = mm(win, w)
+    dt = x.dtype if x.dtype != jnp.float64 else jnp.float32
+    y = _banded_matmul(x, plan.matrix, n_blocks, plan.ipb, dt)
     y = y.reshape(*y.shape[:-2], n_blocks * plan.block_out)
     return y[..., :n_out].astype(x.dtype)
 
@@ -298,9 +305,9 @@ def resample_stream_step(
         raise ValueError(f"chunk length {chunk.shape[-1]} != plan chunk_in {plan.chunk_in}")
     buf = jnp.concatenate([carry, chunk], axis=-1)
     n_blocks = plan.n_out_chunk // plan.block_out
-    win = _window_blocks(buf, n_blocks, plan.ipb, plan.ipb + plan.k_taps)
-    w = jnp.asarray(plan.matrix, dtype=buf.dtype if buf.dtype != jnp.float64 else jnp.float32)
-    y = mm(win, w).reshape(*buf.shape[:-1], plan.n_out_chunk).astype(chunk.dtype)
+    dt = buf.dtype if buf.dtype != jnp.float64 else jnp.float32
+    y = _banded_matmul(buf, plan.matrix, n_blocks, plan.ipb, dt)
+    y = y.reshape(*buf.shape[:-1], plan.n_out_chunk).astype(chunk.dtype)
     new_carry = buf[..., buf.shape[-1] - plan.hist :] if plan.hist else carry
     return new_carry, y
 

@@ -66,3 +66,40 @@ def test_win_length_padding(rng):
     x = rng.standard_normal(4096).astype(np.float32)
     spec = stft(jnp.asarray(x), n_fft=1024, hop=256, win_length=512)
     assert spec.shape[-1] == 513
+
+
+# ---------------------------------------------------------- matmul spectrogram
+
+@pytest.mark.parametrize("power_flag", [True, False])
+@pytest.mark.parametrize("center", [True, False])
+def test_spectrogram_matmul_matches_fft(rng, power_flag, center):
+    from audioflow_tpu.ops import spectrogram
+
+    x = rng.standard_normal(8192).astype(np.float32)
+    got = np.asarray(
+        spectrogram(jnp.asarray(x), 1024, 256, center=center, power=power_flag, impl="matmul")
+    )
+    want = np.asarray(
+        spectrogram(jnp.asarray(x), 1024, 256, center=center, power=power_flag, impl="fft")
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4 * want.max())
+
+
+def test_spectrogram_bad_impl():
+    from audioflow_tpu.ops import spectrogram
+
+    with pytest.raises(ValueError):
+        spectrogram(jnp.zeros(4096), impl="bogus")
+
+
+def test_spectrogram_node_streaming_matches_offline(rng):
+    from audioflow_tpu.graph import Spectrogram, chain
+
+    g = chain(Spectrogram(512, 128, center=False), input_rate=16000)
+    x = rng.standard_normal(8192).astype(np.float32)
+    streamed = np.asarray(g.scan_stream(jnp.asarray(x), 1024))
+    lat = g.stream_latency(1024)
+    offline = np.asarray(g.chain(jnp.asarray(x)))
+    n = min(len(streamed) - lat, len(offline))
+    np.testing.assert_allclose(streamed[lat : lat + n], offline[:n], atol=2e-4 * offline.max())
