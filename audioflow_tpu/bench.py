@@ -48,11 +48,11 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
         g = stft_magnitude_graph(rate, 1024, 256)
         m = _measure(g, x, batch * seconds, sharded=sharded)
     elif name in ("logmel", "config2"):
-        batch = batch or 64
+        batch = batch or 256
         rate = 44100
         x = _tone_batch(batch, seconds, rate)
         g = log_mel_frontend(rate, 16000, 1024, 256, 128)
-        m = _measure(g, x, batch * seconds, sharded=sharded)
+        m = _measure(g, x, batch * seconds, iters=4, sharded=sharded)
     elif name in ("master", "eq", "config3"):
         batch = batch or 64
         rate = 16000

@@ -265,8 +265,31 @@ def cmd_vad(args) -> int:
 def cmd_bench(args) -> int:
     from .bench import run_benchmark
 
-    result = run_benchmark(args.benchmark, batch=args.batch, seconds=args.seconds, sharded=args.sharded)
-    print(json.dumps(result))
+    names = (
+        ["stft", "logmel", "master", "pvoc", "streaming"]
+        if args.benchmark == "all"
+        else [args.benchmark]
+    )
+    results = []
+    for name in names:
+        r = run_benchmark(name, batch=args.batch, seconds=args.seconds, sharded=args.sharded)
+        results.append(r)
+        print(json.dumps(r))
+    if args.report:
+        lines = [
+            "# Benchmarks",
+            "",
+            "| config | batch | clip s | ms/iter | x realtime/chip |",
+            "|---|---|---|---|---|",
+        ]
+        for r in results:
+            lines.append(
+                f"| {r['benchmark']} | {r['batch']} | {r['clip_seconds']} | "
+                f"{r['wall_seconds'] / max(r['batches'], 1) * 1000:.2f} | "
+                f"{r['realtime_factor_per_chip']:.0f} |"
+            )
+        with open(args.report, "w") as f:
+            f.write("\n".join(lines) + "\n")
     return 0
 
 
@@ -322,11 +345,12 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--threshold-db", type=float, default=-50.0)
     v.set_defaults(fn=cmd_vad)
 
-    b = sub.add_parser("bench", help="throughput benchmarks")
+    b = sub.add_parser("bench", help="throughput benchmarks ('all' runs the 5 configs)")
     b.add_argument("benchmark", nargs="?", default="logmel")
     b.add_argument("--batch", type=int, default=0)
     b.add_argument("--seconds", type=float, default=10.0)
     b.add_argument("--sharded", action="store_true")
+    b.add_argument("--report", help="write a markdown table to this path")
     b.set_defaults(fn=cmd_bench)
 
     val = sub.add_parser("validate", help="numerics validation report")

@@ -1,6 +1,7 @@
 """Egress: sinks, wire codec (reference parity), event hooks."""
 
 from .events import Event, EventDispatcher, EventKind
+from .websocket import ConnectionState, WebSocketClient, WebSocketConfig, WsMessage
 from .sinks import ArraySink, CallbackSink, JsonlSink, NpySink, Sink, WavSink, WireJsonlSink, auto_sink
 from .wire import (
     configure_message,
@@ -14,6 +15,10 @@ from .wire import (
 __all__ = [
     "ArraySink",
     "CallbackSink",
+    "ConnectionState",
+    "WebSocketClient",
+    "WebSocketConfig",
+    "WsMessage",
     "Event",
     "EventDispatcher",
     "EventKind",
