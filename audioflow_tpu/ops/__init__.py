@@ -6,6 +6,7 @@ to be composed by :mod:`audioflow_tpu.graph` into one jitted XLA program.
 """
 
 from . import biquad, dynamics, framing, mel, phase_vocoder, quantize, resample, ring, stft, vad, windows
+from ._mm import get_default_matmul_precision, set_default_matmul_precision
 from .biquad import (
     Biquad,
     allpass,

@@ -41,7 +41,9 @@ def melspec_available() -> bool:
     return _PALLAS_OK
 
 
-_FRAME_TILE = 128
+_FRAME_TILE = 64  # frames per row-tile; with 8 rows folded per instance the
+# dot M-dim is 512. 128 blew the 16 MB VMEM scoped limit (19.3 MB) at
+# n_fft=1024: re/im/p temporaries scale with TILE.
 
 
 _ROWS_PER_INSTANCE = 8  # Mosaic tiling: block dim -2 must be a multiple of 8
