@@ -162,6 +162,27 @@ def cmd_run(args) -> int:
     else:
         g = _build_graph(args.graph, input_rate, cfg)
 
+    if args.batch_size:
+        # multi-batch pipelined runner: decode overlaps device compute
+        from .io import BatchLoader
+        from .runner import run_batches
+
+        mesh = None
+        if args.sharded:
+            from .parallel import make_mesh
+
+            mesh = make_mesh()
+        sink = auto_sink(args.output, sample_rate=g.output_rate)
+        stride = batch.samples.shape[1]
+        loader = BatchLoader(files, batch_size=args.batch_size, stride=stride)
+        m = run_batches(g, loader, sinks=[sink], mesh=mesh, expect_rate=input_rate)
+        res = sink.close()
+        stats = StatsFile(args.stats) if args.stats else StatsFile()
+        stats.record_run(m.audio_seconds)
+        stats.save()
+        print(json.dumps({"output": str(res) if res is not None else "array", **m.to_dict()}))
+        return 0
+
     from .obs import RunMetrics, Timer
 
     x = jnp.asarray(batch.samples)
@@ -326,6 +347,7 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--graph", "-g", default="logmel", choices=_GRAPHS)
     r.add_argument("--spec", help="JSON GraphSpec file (overrides --graph)")
     r.add_argument("--input-rate", type=int)
+    r.add_argument("--batch-size", type=int, default=0, help="pipeline files in batches of this size")
     r.add_argument("--sharded", action="store_true", help="shard batch over all devices")
     r.add_argument("--config")
     r.add_argument("--stats")

@@ -189,3 +189,20 @@ def test_cli_validate(capsys):
     assert cli_main(["validate"]) == 0
     rep = json.loads(capsys.readouterr().out)
     assert rep["pass"]
+
+
+def test_cli_run_batched(tmp_path, capsys):
+    wavs = []
+    for i in range(5):
+        p = tmp_path / f"b{i}.wav"
+        _tone_wav(p, n=22050)
+        wavs.append(str(p))
+    rc = cli_main(
+        ["run", "-i", *wavs, "-g", "logmel", "--batch-size", "2",
+         "-o", str(tmp_path / "o.npy"), "--stats", str(tmp_path / "s.json")]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["files"] == 5 and res["batches"] == 3
+    arr = np.load(tmp_path / "o.npy")
+    assert arr.shape[0] == 5
