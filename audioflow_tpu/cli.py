@@ -18,9 +18,9 @@ Usage: python -m audioflow_tpu.cli <command> [options]
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import glob as _glob
 import json
+import os
 import sys
 
 import numpy as np
@@ -150,10 +150,60 @@ def cmd_run(args) -> int:
 
     cfg = ConfigManager(args.config).load() if args.config else ConfigManager().current()
     files = _expand_inputs(args.input)
+
+    def _finish(sink, metrics):
+        res = sink.close()
+        stats = StatsFile(args.stats) if args.stats else StatsFile()
+        stats.record_run(metrics.audio_seconds)
+        stats.save()
+        out_name = str(res) if isinstance(res, (str, os.PathLike)) else "array"
+        print(json.dumps({"output": out_name, **metrics.to_dict()}))
+
+    if args.batch_size:
+        # multi-batch pipelined runner: per-lane masking handles bad files
+        # and wrong rates, so no up-front whole-input decode is needed —
+        # just probe headers for the stride and the input rate
+        from .io import BatchLoader, wav
+        from .runner import run_batches
+
+        max_frames, rate_votes = 1, {}
+        for f in files:
+            try:
+                with open(f, "rb") as fh:
+                    info = wav.probe(fh.read(4096), truncated=True)
+            except Exception:
+                continue
+            max_frames = max(max_frames, info.n_frames)
+            rate_votes[info.sample_rate] = rate_votes.get(info.sample_rate, 0) + 1
+        input_rate = args.input_rate or (
+            max(rate_votes, key=rate_votes.get) if rate_votes else cfg.audio.sample_rate
+        )
+        if args.spec:
+            with open(args.spec) as f:
+                g = graph_from_spec(json.load(f))
+        else:
+            g = _build_graph(args.graph, input_rate, cfg)
+        mesh = None
+        if args.sharded:
+            from .parallel import make_mesh
+
+            mesh = make_mesh()
+        from .utils import round_up
+
+        stride = round_up(int(max_frames), 1024)
+        sink = auto_sink(args.output, sample_rate=g.output_rate)
+        loader = BatchLoader(files, batch_size=args.batch_size, stride=stride)
+        m = run_batches(g, loader, sinks=[sink], mesh=mesh, expect_rate=input_rate)
+        _finish(sink, m)
+        return 0
+
     batch = _load_batch(files, pad_multiple=1024)
     rates = set(batch.rates[batch.valid].tolist())
     if len(rates) > 1:
-        raise SystemExit(f"mixed sample rates in batch: {sorted(rates)}")
+        raise SystemExit(
+            f"mixed sample rates in batch: {sorted(rates)} "
+            "(use --batch-size with --input-rate to mask off-rate lanes)"
+        )
     input_rate = args.input_rate or (rates.pop() if rates else cfg.audio.sample_rate)
 
     if args.spec:
@@ -161,27 +211,6 @@ def cmd_run(args) -> int:
             g = graph_from_spec(json.load(f))
     else:
         g = _build_graph(args.graph, input_rate, cfg)
-
-    if args.batch_size:
-        # multi-batch pipelined runner: decode overlaps device compute
-        from .io import BatchLoader
-        from .runner import run_batches
-
-        mesh = None
-        if args.sharded:
-            from .parallel import make_mesh
-
-            mesh = make_mesh()
-        sink = auto_sink(args.output, sample_rate=g.output_rate)
-        stride = batch.samples.shape[1]
-        loader = BatchLoader(files, batch_size=args.batch_size, stride=stride)
-        m = run_batches(g, loader, sinks=[sink], mesh=mesh, expect_rate=input_rate)
-        res = sink.close()
-        stats = StatsFile(args.stats) if args.stats else StatsFile()
-        stats.record_run(m.audio_seconds)
-        stats.save()
-        print(json.dumps({"output": str(res) if res is not None else "array", **m.to_dict()}))
-        return 0
 
     from .obs import RunMetrics, Timer
 
@@ -217,11 +246,7 @@ def cmd_run(args) -> int:
     )
     sink = auto_sink(args.output, sample_rate=g.output_rate)
     sink.write(host)
-    res = sink.close()
-    stats = StatsFile(args.stats) if args.stats else StatsFile()
-    stats.record_run(m.audio_seconds)
-    stats.save()
-    print(json.dumps({"output": str(res) if res is not None else "array", **m.to_dict()}))
+    _finish(sink, m)
     return 0
 
 

@@ -44,8 +44,13 @@ class WavInfo:
         )
 
 
-def probe(buf: bytes) -> WavInfo:
-    """Parse the RIFF header; raises IOError_ on malformed input."""
+def probe(buf: bytes, truncated: bool = False) -> WavInfo:
+    """Parse the RIFF header; raises IOError_ on malformed input.
+
+    With ``truncated=True`` the buffer may hold only the file head (e.g. the
+    first 4 KB); the declared data-chunk size is trusted instead of being
+    clamped to the buffer, so ``n_frames`` reflects the whole file.
+    """
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise IOError_("not a RIFF/WAVE file", code=ErrorCode.DECODE_FAILED)
     pos = 12
@@ -64,7 +69,8 @@ def probe(buf: bytes) -> WavInfo:
                 # first two bytes of the SubFormat GUID hold the real format
                 (fmt,) = struct.unpack_from("<H", buf, body + 24)
         elif cid == b"data":
-            data_off, data_size = body, min(size, len(buf) - body)
+            data_off = body
+            data_size = size if truncated else min(size, len(buf) - body)
         pos = body + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data_off is None:
         raise IOError_("missing fmt/data chunk", code=ErrorCode.DECODE_FAILED)

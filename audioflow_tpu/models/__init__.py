@@ -2,6 +2,7 @@
 trainable feature-frontend for gradient-based use."""
 
 from .pipelines import (
+    eq_bands_default,
     eq_chain_graph,
     log_mel_frontend,
     master_chain_graph,
@@ -13,6 +14,7 @@ from .trainable import TrainableFrontend, make_train_step
 
 __all__ = [
     "TrainableFrontend",
+    "eq_bands_default",
     "eq_chain_graph",
     "log_mel_frontend",
     "make_train_step",

@@ -110,7 +110,8 @@ def run_batches(
             m.audio_seconds += batch.audio_seconds
         if pending is not None:
             _flush(pending)
-    m.wall_seconds = t_total.elapsed
+    # throughput excludes the one-time compile (reported separately)
+    m.wall_seconds = max(t_total.elapsed - m.compile_seconds, 1e-9)
     if m.files == 0:
         raise AudioError("loader yielded no batches", code=ErrorCode.FILE_NOT_FOUND)
     _log.info(
