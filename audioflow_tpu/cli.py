@@ -33,7 +33,7 @@ from .sinks import auto_sink
 
 _log = get_logger("cli")
 
-_GRAPHS = ("logmel", "stft", "eq", "master", "vad", "wire")
+_GRAPHS = ("logmel", "stft", "eq", "master", "vad", "wire", "fbank")
 
 
 def _build_graph(name: str, input_rate: int, cfg):
@@ -59,6 +59,10 @@ def _build_graph(name: str, input_rate: int, cfg):
         return vad_graph(input_rate, a.chunk_ms)
     if name == "wire":
         return wire_egress_graph(input_rate, a.target_rate)
+    if name == "fbank":
+        from .models import kaldi_fbank_frontend
+
+        return kaldi_fbank_frontend(input_rate, n_mels=a.n_mels)
     raise SystemExit(f"unknown graph {name!r}; known: {_GRAPHS}")
 
 

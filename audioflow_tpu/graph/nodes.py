@@ -281,26 +281,25 @@ class Stft(Node):
     def chunk_multiple(self):
         return self.hop
 
-    def validate_chunk(self, n_in):
-        super().validate_chunk(n_in)
-        if self.n_fft % self.hop:
-            raise AudioError(
-                "streaming STFT requires hop | n_fft", code=ErrorCode.CONFIG_VALIDATION_ERROR
-            )
-
     def out_len(self, n_in):
         return n_in // self.hop
 
+    @property
+    def _carry_len(self) -> int:
+        # hop-aligned history (>= n_fft - hop) so streamed frames stay on the
+        # offline hop grid even when hop does not divide n_fft
+        return (-(-self.n_fft // self.hop) - 1) * self.hop
+
     def latency(self, n_in):
-        return self.n_fft // self.hop - 1
+        return self._carry_len // self.hop
 
     def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
-        return jnp.zeros((*lead_shape, self.n_fft - self.hop), dtype)
+        return jnp.zeros((*lead_shape, self._carry_len), dtype)
 
     def step(self, carry, chunk):
         buf = jnp.concatenate([carry, chunk], axis=-1)
         spec = ops.stft(buf, self.n_fft, self.hop, window=self.window, center=False)
-        return buf[..., buf.shape[-1] - (self.n_fft - self.hop) :], spec
+        return buf[..., buf.shape[-1] - self._carry_len :], spec
 
 
 @register_node
@@ -316,42 +315,40 @@ class Spectrogram(Node):
     center: bool = True
     power: bool = True
     impl: str = "matmul"
+    win_length: int | None = None
 
     domain_out = "frames"
 
     def apply(self, x):
         return ops.spectrogram(
-            x, self.n_fft, self.hop, self.window,
+            x, self.n_fft, self.hop, self.window, self.win_length,
             center=self.center, power=self.power, impl=self.impl,
         )
 
     def chunk_multiple(self):
         return self.hop
 
-    def validate_chunk(self, n_in):
-        super().validate_chunk(n_in)
-        if self.n_fft % self.hop:
-            raise AudioError(
-                "streaming Spectrogram requires hop | n_fft",
-                code=ErrorCode.CONFIG_VALIDATION_ERROR,
-            )
-
     def out_len(self, n_in):
         return n_in // self.hop
 
+    @property
+    def _carry_len(self) -> int:
+        # hop-aligned history (>= n_fft - hop); see Stft._carry_len
+        return (-(-self.n_fft // self.hop) - 1) * self.hop
+
     def latency(self, n_in):
-        return self.n_fft // self.hop - 1
+        return self._carry_len // self.hop
 
     def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
-        return jnp.zeros((*lead_shape, self.n_fft - self.hop), dtype)
+        return jnp.zeros((*lead_shape, self._carry_len), dtype)
 
     def step(self, carry, chunk):
         buf = jnp.concatenate([carry, chunk], axis=-1)
         spec = ops.spectrogram(
-            buf, self.n_fft, self.hop, self.window,
+            buf, self.n_fft, self.hop, self.window, self.win_length,
             center=False, power=self.power, impl=self.impl,
         )
-        return buf[..., buf.shape[-1] - (self.n_fft - self.hop) :], spec
+        return buf[..., buf.shape[-1] - self._carry_len :], spec
 
 
 @register_node
@@ -498,3 +495,43 @@ class PitchShift(Node):
 
     def apply(self, x):
         return ops.pitch_shift(x, self.semitones, self.sample_rate, self.n_fft, self.hop)
+
+
+@register_node
+@dataclass(frozen=True)
+class Preemphasis(Node):
+    """ASR-standard first-order high-pass (y[n] = x[n] - k*x[n-1]).
+
+    Streaming carries the previous chunk's last sample so streamed == offline.
+    """
+
+    coeff: float = 0.97
+
+    def apply(self, x):
+        return ops.preemphasis(x, self.coeff)
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        # (previous sample, started flag) — the flag reproduces the offline
+        # Kaldi edge convention y[0] = x[0] - k*x[0] exactly on chunk 0
+        return (jnp.zeros((*lead_shape, 1), dtype), jnp.zeros((*lead_shape, 1), bool))
+
+    def step(self, carry, chunk):
+        prev_sample, started = carry
+        prev0 = jnp.where(started, prev_sample, chunk[..., :1])
+        prev = jnp.concatenate([prev0, chunk[..., :-1]], axis=-1)
+        new_carry = (chunk[..., -1:], jnp.ones_like(started))
+        return new_carry, chunk - self.coeff * prev
+
+
+@register_node
+@dataclass(frozen=True)
+class Cmvn(Node):
+    """Per-utterance cepstral mean/variance normalization (offline only)."""
+
+    norm_var: bool = False
+    streamable = False
+    domain_in = "frames"
+    domain_out = "frames"
+
+    def apply(self, x):
+        return ops.cmvn(x, self.norm_var)

@@ -23,3 +23,7 @@ __all__ = [
     "vad_graph",
     "wire_egress_graph",
 ]
+
+from .pipelines import kaldi_fbank_frontend  # noqa: E402
+
+__all__.append("kaldi_fbank_frontend")

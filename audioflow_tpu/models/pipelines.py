@@ -110,6 +110,34 @@ def vad_graph(
     )
 
 
+def kaldi_fbank_frontend(
+    sample_rate: int = 16000,
+    frame_ms: float = 25.0,
+    hop_ms: float = 10.0,
+    n_mels: int = 80,
+    preemph: float = 0.97,
+    window: str = "povey",
+    cmvn: bool = True,
+    norm_var: bool = False,
+) -> Graph:
+    """Kaldi-style filterbank frontend: pre-emphasis -> povey-window STFT ->
+    power -> HTK-mel log-fbank -> CMVN. The standard ASR feature family,
+    built from the same kernel library."""
+    from ..graph import Cmvn, Preemphasis
+
+    win = int(sample_rate * frame_ms / 1000)
+    hop = int(sample_rate * hop_ms / 1000)
+    n_fft = 1 << (win - 1).bit_length()  # next pow2
+    nodes: list = [
+        Preemphasis(preemph),
+        Spectrogram(n_fft, hop, window=window, center=False, power=True, win_length=win),
+        MelProject(n_mels=n_mels, htk=True, norm=None, f_min=20.0, log="ln"),
+    ]
+    if cmvn:
+        nodes.append(Cmvn(norm_var=norm_var))
+    return Graph(tuple(nodes), input_rate=sample_rate, name="kaldi_fbank")
+
+
 def wire_egress_graph(input_rate: int = 48000, target_rate: int = 16000) -> Graph:
     """The reference's full device-side dictation path: 48k capture ->
     16k resample -> i16 quantize (the bytes the wire codec base64s;

@@ -22,8 +22,10 @@ from .biquad import (
     peaking,
 )
 from .dynamics import (
+    cmvn,
     compressor,
     energy_to_dbfs,
+    preemphasis,
     gain_db,
     limiter,
     mean_square_energy,

@@ -101,3 +101,26 @@ def compressor(
         over = jnp.maximum(over, 0.0)
     gain_reduction_db = over * (1.0 / ratio - 1.0)
     return x * 10.0 ** (gain_reduction_db / 20.0)
+
+
+def preemphasis(x: jnp.ndarray, coeff: float = 0.97) -> jnp.ndarray:
+    """First-order high-pass FIR y[n] = x[n] - coeff*x[n-1] (ASR-standard).
+
+    Kaldi convention: y[0] = x[0] - coeff*x[0]. Pure elementwise+shift — XLA
+    fuses it into neighbors.
+    """
+    prev = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    return x - coeff * prev
+
+
+def cmvn(feats: jnp.ndarray, norm_var: bool = False, eps: float = 1e-8) -> jnp.ndarray:
+    """Cepstral mean (and optional variance) normalization over the time axis.
+
+    feats [..., T, F]; per-utterance statistics (offline whole-signal op).
+    """
+    mean = feats.mean(axis=-2, keepdims=True)
+    out = feats - mean
+    if norm_var:
+        var = feats.var(axis=-2, keepdims=True)
+        out = out / jnp.sqrt(var + eps)
+    return out
