@@ -535,3 +535,78 @@ class Cmvn(Node):
 
     def apply(self, x):
         return ops.cmvn(x, self.norm_var)
+
+
+@register_node
+@dataclass(frozen=True)
+class VadGate(Node):
+    """Mute non-speech audio: the device-side analog of the reference's
+    VAD-gated egress (only speech is streamed to the ASR service, SURVEY
+    §3.3). Frames whose VAD state is Speech (or Ending) pass; silence is
+    zeroed. Emits samples, unlike :class:`Vad` which emits states."""
+
+    frame_len: int = 320
+    threshold_db: float = -50.0
+    smoothing_factor: float = 0.3
+    silence_timeout_frames: int = 15
+    min_speech_frames: int = 3
+    keep_ending: bool = True
+
+    def _cfg(self):
+        return _vad.VadConfig(
+            self.threshold_db,
+            self.smoothing_factor,
+            self.silence_timeout_frames,
+            self.min_speech_frames,
+        )
+
+    def chunk_multiple(self):
+        return self.frame_len
+
+    def _gate(self, x, states):
+        keep = states == _vad.SPEECH
+        if self.keep_ending:
+            keep = keep | (states == _vad.ENDING)
+        frames = x[..., : states.shape[-1] * self.frame_len].reshape(
+            *x.shape[:-1], states.shape[-1], self.frame_len
+        )
+        gated = frames * keep[..., None].astype(x.dtype)
+        return gated.reshape(*x.shape[:-1], states.shape[-1] * self.frame_len)
+
+    def apply(self, x):
+        n = x.shape[-1] // self.frame_len
+        frames = x[..., : n * self.frame_len].reshape(*x.shape[:-1], n, self.frame_len)
+        _, states = _vad.vad_scan(frames, self._cfg())
+        return self._gate(x, states)
+
+    def out_len(self, n_in):
+        return n_in // self.frame_len * self.frame_len
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return _vad.vad_init(lead_shape, dtype)
+
+    def step(self, carry, chunk):
+        n = chunk.shape[-1] // self.frame_len
+        frames = chunk[..., : n * self.frame_len].reshape(
+            *chunk.shape[:-1], n, self.frame_len
+        )
+        carry, states = _vad.vad_scan(frames, self._cfg(), carry)
+        return carry, self._gate(chunk, states)
+
+
+@register_node
+@dataclass(frozen=True)
+class Istft(Node):
+    """Inverse STFT (WOLA): complex frames -> samples (offline; spectral
+    round-trip graphs, e.g. frequency-domain processing then resynthesis)."""
+
+    n_fft: int = 1024
+    hop: int = 256
+    window: str = "hann"
+    center: bool = True
+    streamable = False
+    domain_in = "frames"
+    domain_out = "samples"
+
+    def apply(self, x):
+        return ops.istft(x, self.n_fft, self.hop, window=self.window, center=self.center)

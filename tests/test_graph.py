@@ -176,3 +176,29 @@ def test_stream_stft_matches_prepadded_offline(rng):
     want = np.asarray(ops.stft(jnp.asarray(padded), 512, 128, center=False))
     n = min(len(streamed), len(want))
     np.testing.assert_allclose(streamed[:n], want[:n], atol=2e-4)
+
+
+def test_vad_gate_mutes_silence(rng):
+    from audioflow_tpu.graph import VadGate
+
+    g = chain(VadGate(frame_len=160, smoothing_factor=0.0, silence_timeout_frames=2,
+                      min_speech_frames=1), input_rate=16000)
+    x = np.concatenate(
+        [np.zeros(1600), 0.4 * np.sin(2 * np.pi * 300 * np.arange(4800) / 16000), np.zeros(3200)]
+    ).astype(np.float32)
+    y = np.asarray(g.chain(jnp.asarray(x)))
+    assert np.abs(y[:1600]).max() == 0.0            # leading silence muted
+    assert np.abs(y[1600:6400]).max() > 0.3         # speech passes
+    assert np.abs(y[-1600:]).max() == 0.0           # trailing silence muted
+    # streaming == offline
+    streamed = np.asarray(g.scan_stream(jnp.asarray(x), 1600))
+    np.testing.assert_allclose(streamed, y, atol=1e-7)
+
+
+def test_istft_node_round_trip(rng):
+    from audioflow_tpu.graph import Istft, Stft
+
+    g = chain(Stft(512, 128), Istft(512, 128), input_rate=16000)
+    x = (rng.standard_normal(4096) * 0.5).astype(np.float32)
+    y = np.asarray(g.chain(jnp.asarray(x)))
+    np.testing.assert_allclose(y[512:-512], x[512 : len(y) - 512], atol=1e-4)
