@@ -36,7 +36,7 @@ _log = get_logger("cli")
 _GRAPHS = ("logmel", "stft", "eq", "master", "vad", "wire", "fbank")
 
 
-def _build_graph(name: str, input_rate: int, cfg):
+def _build_graph(name: str, input_rate: int, cfg, streaming: bool = False):
     from .models import (
         eq_chain_graph,
         log_mel_frontend,
@@ -50,7 +50,7 @@ def _build_graph(name: str, input_rate: int, cfg):
     if name == "logmel":
         return log_mel_frontend(input_rate, a.target_rate, a.n_fft, a.hop, a.n_mels, a.resample_mode)
     if name == "stft":
-        return stft_magnitude_graph(input_rate, a.n_fft, a.hop)
+        return stft_magnitude_graph(input_rate, a.n_fft, a.hop, center=not streaming)
     if name == "eq":
         return eq_chain_graph(input_rate)
     if name == "master":
@@ -173,11 +173,17 @@ def cmd_run(args) -> int:
         max_frames, rate_votes = 1, {}
         for f in files:
             try:
+                size = os.path.getsize(f)
                 with open(f, "rb") as fh:
                     info = wav.probe(fh.read(4096), truncated=True)
             except Exception:
                 continue
-            max_frames = max(max_frames, info.n_frames)
+            # clamp the declared size against the actual file size: streaming
+            # encoders often leave 0xFFFFFFFF placeholders that would explode
+            # the staging allocation
+            frame_bytes = max(1, info.channels * (info.bits // 8))
+            n = min(info.n_frames, max(0, size - info.data_offset) // frame_bytes)
+            max_frames = max(max_frames, n)
             rate_votes[info.sample_rate] = rate_votes.get(info.sample_rate, 0) + 1
         input_rate = args.input_rate or (
             max(rate_votes, key=rate_votes.get) if rate_votes else cfg.audio.sample_rate
@@ -262,7 +268,7 @@ def cmd_stream(args) -> int:
     data, rate = read_wav(args.input)
     if data.ndim == 2:
         data = data.mean(axis=1).astype(np.float32)
-    g = _build_graph(args.graph, rate, cfg)
+    g = _build_graph(args.graph, rate, cfg, streaming=True)
     sinks = [auto_sink(args.output, sample_rate=g.output_rate)] if args.output else []
     sess = StreamSession(g, chunk_in=args.chunk, sinks=sinks)
     with sess:

@@ -148,11 +148,7 @@ class Resample(Node):
     def chunk_multiple(self):
         if self._identity:
             return 1
-        from ..utils import cdiv, rational_rate
-
-        up, down = rational_rate(self.input_rate, self.output_rate)
-        g = max(up, cdiv(128, up) * up)
-        return g * down // up  # the stream plan's inputs-per-block
+        return _resample.stream_chunk_multiple(self.input_rate, self.output_rate)
 
     def out_len(self, n_in):
         return n_in if self._identity else self._stream_plan(n_in).n_out_chunk
@@ -281,6 +277,15 @@ class Stft(Node):
     def chunk_multiple(self):
         return self.hop
 
+    def validate_chunk(self, n_in):
+        super().validate_chunk(n_in)
+        if self.center:
+            raise AudioError(
+                f"{type(self).__name__}: streaming requires center=False "
+                "(center-padding needs the whole signal)",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+
     def out_len(self, n_in):
         return n_in // self.hop
 
@@ -327,6 +332,15 @@ class Spectrogram(Node):
 
     def chunk_multiple(self):
         return self.hop
+
+    def validate_chunk(self, n_in):
+        super().validate_chunk(n_in)
+        if self.center:
+            raise AudioError(
+                "Spectrogram: streaming requires center=False "
+                "(center-padding needs the whole signal)",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
 
     def out_len(self, n_in):
         return n_in // self.hop

@@ -138,8 +138,9 @@ class BatchLoader:
                             group, self.pad_multiple, self.stride, self.use_native
                         )
                     )
-            finally:
                 q.put(sentinel)
+            except BaseException as exc:  # propagate, never silently truncate
+                q.put(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -147,5 +148,8 @@ class BatchLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()

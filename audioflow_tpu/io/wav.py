@@ -57,21 +57,26 @@ def probe(buf: bytes, truncated: bool = False) -> WavInfo:
     fmt = None
     data_off = data_size = None
     rate = channels = bits = None
-    while pos + 8 <= len(buf):
-        cid = buf[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", buf, pos + 4)
-        body = pos + 8
-        if cid == b"fmt ":
-            if size < 16:
-                raise IOError_("fmt chunk too small", code=ErrorCode.DECODE_FAILED)
-            fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", buf, body)
-            if fmt == _FMT_EXTENSIBLE and size >= 40:
-                # first two bytes of the SubFormat GUID hold the real format
-                (fmt,) = struct.unpack_from("<H", buf, body + 24)
-        elif cid == b"data":
-            data_off = body
-            data_size = size if truncated else min(size, len(buf) - body)
-        pos = body + size + (size & 1)  # chunks are word-aligned
+    try:
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body = pos + 8
+            if cid == b"fmt ":
+                if size < 16:
+                    raise IOError_("fmt chunk too small", code=ErrorCode.DECODE_FAILED)
+                fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", buf, body)
+                if fmt == _FMT_EXTENSIBLE and size >= 40:
+                    # first two bytes of the SubFormat GUID hold the real format
+                    (fmt,) = struct.unpack_from("<H", buf, body + 24)
+            elif cid == b"data":
+                data_off = body
+                data_size = size if truncated else min(size, len(buf) - body)
+            pos = body + size + (size & 1)  # chunks are word-aligned
+    except struct.error:
+        # file cut inside a chunk header: typed error, never struct.error,
+        # so per-lane fault isolation keeps working (SURVEY §5.3)
+        raise IOError_("truncated WAV header", code=ErrorCode.DECODE_FAILED) from None
     if fmt is None or data_off is None:
         raise IOError_("missing fmt/data chunk", code=ErrorCode.DECODE_FAILED)
     if fmt not in (_FMT_PCM, _FMT_FLOAT):

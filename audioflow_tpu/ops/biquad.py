@@ -165,6 +165,7 @@ class IIRPlan:
     o_mat: np.ndarray  # [Bk, order]  state -> output contribution
     u_mat: np.ndarray  # [order, Bk]  input -> next-state contribution
     a_pow: np.ndarray  # [order, order]  A^Bk
+    a_pows: np.ndarray  # [Bk + 1, order, order]  A^k for exact partial blocks
 
 
 @lru_cache(maxsize=64)
@@ -191,6 +192,7 @@ def make_iir_plan(biquads: tuple[Biquad, ...], block: int = 128) -> IIRPlan:
         o_mat.astype(np.float32),
         u_mat.astype(np.float32),
         powers[block].astype(np.float32),
+        powers.astype(np.float32),
     )
 
 
@@ -202,15 +204,14 @@ def iir_apply(
     """Filter ``x [..., T]`` through the cascade. Returns (y, final_state).
 
     ``zi [..., order]`` is the initial state (zeros if None) — it is both the
-    streaming carry and the checkpoint format.
+    streaming carry and the checkpoint format. T need not be a block
+    multiple: the tail runs through exact partial-block matrices, so the
+    returned state is the state at sample T (not advanced through padding).
     """
     t_len = x.shape[-1]
     bk = plan.block
-    n_blocks = cdiv(t_len, bk)
-    pad = n_blocks * bk - t_len
-    if pad:
-        pads = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
-        x = jnp.pad(x, pads)
+    n_full = t_len // bk
+    tail = t_len - n_full * bk
     lead = x.shape[:-1]
     dt = x.dtype if x.dtype != jnp.float64 else jnp.float32
     t_m = jnp.asarray(plan.t_mat, dt)
@@ -220,16 +221,36 @@ def iir_apply(
     if zi is None:
         zi = jnp.zeros((*lead, plan.order), dt)
 
-    blocks = jnp.moveaxis(x.reshape(*lead, n_blocks, bk), -2, 0)  # [n_blocks, ..., Bk]
-
     def step(s, xb):
         y = mm(xb, t_m.T) + mm(s, o_m.T)
         s_next = mm(s, a_p.T) + mm(xb, u_m.T)
         return s_next.astype(dt), y.astype(dt)
 
-    s_end, ys = jax.lax.scan(step, zi, blocks)
-    y = jnp.moveaxis(ys, 0, -2).reshape(*lead, n_blocks * bk)
-    return y[..., :t_len], s_end
+    s_end = zi
+    y_main = None
+    if n_full:
+        blocks = jnp.moveaxis(
+            x[..., : n_full * bk].reshape(*lead, n_full, bk), -2, 0
+        )  # [n_full, ..., Bk]
+        s_end, ys = jax.lax.scan(step, zi, blocks)
+        y_main = jnp.moveaxis(ys, 0, -2).reshape(*lead, n_full * bk)
+    if tail == 0:
+        return y_main, s_end
+
+    # exact partial block: y = x_t @ T[:tail,:tail]^t + s @ O[:tail]^t,
+    # s' = s @ (A^tail)^t + x_t @ U[:, Bk-tail:]^t (u_mat[:, j] = A^(Bk-1-j) B)
+    xt = x[..., n_full * bk :]
+    y_tail = mm(xt, jnp.asarray(plan.t_mat[:tail, :tail], dt).T) + mm(
+        s_end, jnp.asarray(plan.o_mat[:tail], dt).T
+    )
+    s_out = mm(s_end, jnp.asarray(plan.a_pows[tail], dt).T) + mm(
+        xt, jnp.asarray(plan.u_mat[:, bk - tail :], dt).T
+    )
+    y_tail = y_tail.astype(dt)
+    s_out = s_out.astype(dt)
+    if y_main is None:
+        return y_tail, s_out
+    return jnp.concatenate([y_main, y_tail], axis=-1), s_out
 
 
 def biquad_chain(

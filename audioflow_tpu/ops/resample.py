@@ -248,6 +248,15 @@ class StreamResamplePlan:
         return -self.n0
 
 
+def stream_chunk_multiple(input_rate: int, output_rate: int, min_block_out: int = 128) -> int:
+    """Inputs-per-block of the streaming plan: valid streaming chunk sizes
+    are multiples of this (the single source of truth for graph-layer
+    granularity computation)."""
+    up, down = rational_rate(input_rate, output_rate)
+    g = max(up, cdiv(min_block_out, up) * up)
+    return g * down // up
+
+
 @lru_cache(maxsize=64)
 def make_stream_plan(
     input_rate: int,
@@ -266,7 +275,7 @@ def make_stream_plan(
         raise ValueError(f"unknown resample mode {mode!r}; known: {sorted(_BANKS)}") from None
     k_taps = bank.shape[1]
     g = max(L, cdiv(min_block_out, L) * L)
-    ipb = g * M // L
+    ipb = stream_chunk_multiple(input_rate, output_rate, min_block_out)
     if chunk_in % ipb != 0:
         raise ValueError(
             f"chunk_in={chunk_in} must be a multiple of {ipb} "

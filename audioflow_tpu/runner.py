@@ -107,7 +107,11 @@ def run_batches(
             m.batches += 1
             m.files += len(batch.paths)
             m.failed_files += int((~batch.valid).sum())
-            m.audio_seconds += batch.audio_seconds
+            # count only the audio actually processed (lanes may be truncated
+            # to the stride), so realtime_factor is never overstated
+            ok = batch.valid & (batch.rates > 0)
+            eff = np.minimum(batch.lengths, stride)
+            m.audio_seconds += float((eff[ok] / batch.rates[ok]).sum()) if ok.any() else 0.0
         if pending is not None:
             _flush(pending)
     # throughput excludes the one-time compile (reported separately)

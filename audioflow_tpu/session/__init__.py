@@ -146,7 +146,7 @@ class StreamSession:
             done += 1
         return done
 
-    def _process(self, chunk: np.ndarray, final: bool) -> None:
+    def _process(self, chunk: np.ndarray, final: bool) -> Result:
         self._carry, out = self._step(self._carry, jnp.asarray(chunk))
         host = np.asarray(out)
         res = Result(host, final, self._chunk_index)
@@ -160,6 +160,7 @@ class StreamSession:
             peak = float(np.max(np.abs(chunk))) if chunk.size else 0.0
             self.events.emit_audio_level(rms=rms, peak=peak)
             self.events.emit_result(host, final=final, index=res.index)
+        return res
 
     # ------------------------------------------------------------------ poll
     def poll(self, timeout: float | None = 0.0) -> Result | None:
@@ -193,8 +194,7 @@ class StreamSession:
         widths = [(0, 0)] * (self._buffer.ndim - 1) + [(0, pad)]
         chunk = np.pad(self._buffer, widths)
         self._buffer = self._buffer[..., :0]
-        self._process(chunk, final=True)
-        return None
+        return self._process(chunk, final=True)
 
     def close(self) -> dict:
         """Flush, close sinks, record stats. Returns a summary dict."""
@@ -220,11 +220,19 @@ class StreamSession:
         return {"chunks": self._chunk_index, "audio_seconds": audio_s}
 
     # ------------------------------------------------------------ checkpoint
+    @staticmethod
+    def _snapshot_path(path) -> Path:
+        # np.savez appends .npz to other suffixes; normalize so snapshot and
+        # restore always agree on the on-disk name
+        p = Path(path)
+        return p if p.suffix == ".npz" else p.with_name(p.name + ".npz")
+
     def snapshot(self, path: str) -> None:
         """Persist carry + pending buffer + counters (resumable, SURVEY §5.4)."""
         leaves, treedef = jax.tree_util.tree_flatten(self._carry)
         arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
-        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        path = self._snapshot_path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
         np.savez(
             path,
             __buffer=self._buffer,
@@ -236,7 +244,7 @@ class StreamSession:
     def restore(self, path: str) -> "StreamSession":
         """Restore a snapshot into an OPEN session with identical graph/chunk."""
         self.open()
-        data = np.load(path, allow_pickle=False)
+        data = np.load(self._snapshot_path(path), allow_pickle=False)
         leaves, treedef = jax.tree_util.tree_flatten(self._carry)
         restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
         self._carry = jax.tree_util.tree_unflatten(treedef, restored)

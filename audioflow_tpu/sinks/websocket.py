@@ -100,11 +100,17 @@ class WebSocketClient:
         self.state = ConnectionState.CONNECTED
 
     def connect_with_retry(self) -> None:
-        """Exponential-ish retry loop — implements what websocket.rs only
-        declares (reconnect_delay_ms x max_reconnect_attempts)."""
-        delay = self.config.reconnect_delay_ms / 1000.0
+        """Retry with exponential backoff — implements what websocket.rs only
+        declares (reconnect_delay_ms x max_reconnect_attempts), reusing the
+        shared RetryPolicy schedule from :mod:`audioflow_tpu.errors`."""
+        from ..errors import RetryPolicy
+
+        policy = RetryPolicy(
+            max_attempts=self.config.max_reconnect_attempts,
+            base_delay_s=self.config.reconnect_delay_ms / 1000.0,
+        )
         last: IOError_ | None = None
-        for attempt in range(1, self.config.max_reconnect_attempts + 1):
+        for attempt in range(policy.max_attempts):
             self.state = ConnectionState.RECONNECTING
             try:
                 self.connect()
@@ -113,7 +119,8 @@ class WebSocketClient:
                 if err.code is ErrorCode.AUTHENTICATION_FAILED:
                     raise  # not recoverable by retrying (401)
                 last = err
-                time.sleep(delay)
+                if attempt + 1 < policy.max_attempts:  # no sleep after the last try
+                    time.sleep(policy.delay_for(attempt))
         self.state = ConnectionState.FAILED
         assert last is not None
         raise last

@@ -117,3 +117,27 @@ def test_custom_biquad_identity(rng):
     x = rng.standard_normal(500).astype(np.float32)
     y, _ = biquad_chain(jnp.asarray(x), (ident,))
     np.testing.assert_allclose(np.asarray(y), x, atol=1e-6)
+
+
+def test_partial_block_state_exact(rng):
+    """State after a non-block-multiple length must be the state at T, not
+    advanced through padding zeros (regression: streaming corruption)."""
+    plan = make_iir_plan((lowpass(1500.0, 16000.0),), block=128)
+    x = rng.standard_normal(300).astype(np.float32)  # 2 blocks + 44 tail
+    y, s = iir_apply(jnp.asarray(x), plan)
+    # continuing from s with more samples == filtering the concatenation
+    x2 = rng.standard_normal(100).astype(np.float32)
+    y2, _ = iir_apply(jnp.asarray(x2), plan, zi=s)
+    y_all, _ = iir_apply(jnp.asarray(np.concatenate([x, x2])), plan)
+    np.testing.assert_allclose(np.concatenate([y, y2]), np.asarray(y_all), atol=1e-5)
+
+
+def test_stream_non_multiple_chunks_match_offline(rng):
+    """scan_stream with chunks not a multiple of the IIR block (regression)."""
+    from audioflow_tpu.graph import BiquadChain, chain
+
+    g = chain(BiquadChain((lowpass(2000.0, 16000.0),)), input_rate=16000)
+    x = rng.standard_normal(1000).astype(np.float32)
+    streamed = np.asarray(g.scan_stream(jnp.asarray(x), 100))  # 100 % 128 != 0
+    offline = np.asarray(g.chain(jnp.asarray(x)))
+    np.testing.assert_allclose(streamed, offline, atol=1e-5)

@@ -202,3 +202,14 @@ def test_istft_node_round_trip(rng):
     x = (rng.standard_normal(4096) * 0.5).astype(np.float32)
     y = np.asarray(g.chain(jnp.asarray(x)))
     np.testing.assert_allclose(y[512:-512], x[512 : len(y) - 512], atol=1e-4)
+
+
+def test_streaming_center_true_rejected():
+    from audioflow_tpu.graph import Spectrogram
+
+    g = chain(Stft(512, 128, center=True), input_rate=16000)
+    with pytest.raises(AudioError, match="center=False"):
+        g.init_state(1024)
+    g2 = chain(Spectrogram(512, 128, center=True), input_rate=16000)
+    with pytest.raises(AudioError, match="center=False"):
+        g2.chunk_lens(1024)

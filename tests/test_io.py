@@ -110,3 +110,27 @@ def test_batch_loader_prefetch(tmp_path):
 def test_batch_loader_bad_batch_size():
     with pytest.raises(IOError_):
         BatchLoader([], 0)
+
+
+def test_probe_truncated_inside_fmt_raises_typed():
+    """Regression: struct.error must surface as IOError_ (lane isolation)."""
+    import struct as _s
+
+    buf = b"RIFF" + _s.pack("<I", 100) + b"WAVE" + b"fmt " + _s.pack("<I", 16) + b"\x01\x00"
+    with pytest.raises(IOError_):
+        probe(buf)
+    # and through decode_batch: the lane is masked, not fatal
+    batch = decode_batch([buf], use_native=False)
+    assert not batch.valid[0]
+
+
+def test_batch_loader_propagates_producer_errors(tmp_path):
+    """Regression: a crashing decode must raise, not silently end the run."""
+
+    class Boom:
+        def __fspath__(self):
+            raise MemoryError("decode blew up")
+
+    loader = BatchLoader([Boom()], batch_size=1, use_native=False)
+    with pytest.raises(MemoryError):
+        list(loader)

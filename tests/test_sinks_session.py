@@ -199,3 +199,22 @@ def test_session_stats(tmp_path, rng):
     assert stats.data["total_audio_seconds"] == pytest.approx(1.0)
     s2 = StatsFile(tmp_path / "stats.json")
     assert s2.data["run_count"] == 1
+
+
+def test_snapshot_path_without_npz_suffix(tmp_path, rng):
+    """Regression: np.savez appends .npz; restore must find the file."""
+    g = _graph()
+    chunk = g.chunk_granularity()
+    s1 = StreamSession(g, chunk_in=chunk).open()
+    s1.push(rng.standard_normal(chunk * 2).astype(np.float32))
+    s1.snapshot(tmp_path / "session.ckpt")  # no .npz suffix
+    s2 = StreamSession(g, chunk_in=chunk).restore(tmp_path / "session.ckpt")
+    assert s2._chunk_index == s1._chunk_index
+
+
+def test_flush_returns_final_result(rng):
+    g = _graph()
+    sess = StreamSession(g, chunk_in=g.chunk_granularity()).open()
+    sess.push(rng.standard_normal(100).astype(np.float32))
+    res = sess.flush()
+    assert res is not None and res.final
