@@ -260,9 +260,14 @@ class Limiter(Node):
 @register_node
 @dataclass(frozen=True)
 class Stft(Node):
-    """samples -> complex frames. Streaming keeps the n_fft-hop overlap tail;
+    """samples -> complex frames. Streaming keeps a hop-aligned overlap tail;
     the stream equals offline STFT (center=False) of the zero-prehistory
-    signal, with n_fft/hop - 1 frames of latency."""
+    signal, with cdiv(n_fft, hop) - 1 frames of latency.
+
+    Sharding note: XLA does not partition its FFT op, so a batch-sharded Stft
+    all-gathers the batch (verified in tests). Use :class:`Spectrogram`
+    (matmul-DFT, shards with zero collectives) unless the complex spectrum is
+    needed downstream (ISTFT/phase vocoder)."""
 
     n_fft: int = 1024
     hop: int = 256

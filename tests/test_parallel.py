@@ -20,10 +20,11 @@ from audioflow_tpu.parallel import (
 
 
 def _graph():
+    from audioflow_tpu.graph import Spectrogram
+
     return chain(
         Resample(48000, 16000, "kaiser"),
-        Stft(512, 128, center=False),
-        Power(),
+        Spectrogram(512, 128, center=False),
         MelProject(n_mels=32),
         input_rate=48000,
     )
@@ -99,3 +100,40 @@ def test_vmapped_streaming_scan_sharded(rng):
     out = np.asarray(fn(shard_batch(x, mesh)))
     want = np.asarray(g.scan_stream(jnp.asarray(x), chunk))
     np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_sharded_hot_path_has_no_collectives(rng):
+    """The DP design promise (SURVEY §2.6): batch-sharded DSP graphs compile
+    with zero cross-chip communication."""
+    mesh = make_mesh()
+    g = _graph()
+    x = shard_batch(rng.standard_normal((8, 48000)).astype(np.float32), mesh)
+    fn = compile_sharded(g, mesh)
+    hlo = fn.lower(x).compile().as_text().lower()
+    for coll in ("all-reduce", "all-gather", "collective-permute", "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, f"unexpected collective {coll} on the hot path"
+
+
+def test_fft_stft_gathers_under_sharding(rng):
+    """Documented limitation: XLA does not partition its FFT op, so a
+    batch-sharded Stft (impl=fft) all-gathers the batch — use Spectrogram
+    (matmul-DFT) in sharded pipelines unless the complex spectrum is needed."""
+    mesh = make_mesh()
+    g = chain(Stft(512, 128, center=False), input_rate=16000)
+    x = shard_batch(rng.standard_normal((8, 48000)).astype(np.float32), mesh)
+    hlo = compile_sharded(g, mesh).lower(x).compile().as_text().lower()
+    assert "all-gather" in hlo
+
+
+def test_trainable_step_has_gradient_allreduce(rng):
+    """Conversely, the DP training step must all-reduce gradients over ICI."""
+    from audioflow_tpu.models import TrainableFrontend, make_train_step
+
+    model = TrainableFrontend(n_fft=256, hop=128, n_mels=8, n_classes=2)
+    params = model.init_params()
+    mesh = make_mesh()
+    step, opt = make_train_step(model, mesh=mesh)
+    x = shard_batch(rng.standard_normal((8, 2048)).astype(np.float32), mesh)
+    y = shard_batch(rng.integers(0, 2, 8).astype(np.int32), mesh)
+    hlo = step.lower(params, opt.init(params), x, y).compile().as_text().lower()
+    assert "all-reduce" in hlo
