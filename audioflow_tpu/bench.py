@@ -74,11 +74,11 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
         g = master_chain_graph(rate)
         m = _measure(g, x, batch * seconds, sharded=sharded)
     elif name in ("pvoc", "config4"):
-        batch = batch or 16
+        batch = batch or 64
         rate = 16000
         x = _tone_batch(batch, seconds, rate)
         fn = lambda z: time_stretch(z, 1.25, 1024, 256)  # noqa: E731
-        m = _measure(fn, x, batch * seconds, sharded=False)
+        m = _measure(fn, x, batch * seconds, iters=4, sharded=False)
     elif name in ("streaming", "config5"):
         from .graph import chain as _chain
         from .models import eq_bands_default

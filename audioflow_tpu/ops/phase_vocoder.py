@@ -61,14 +61,19 @@ def time_stretch(
     n_fft: int = 1024,
     hop: int = 256,
     window: str = "hann",
+    impl: str = "matmul",
 ) -> jnp.ndarray:
-    """Stretch audio duration by 1/rate at constant pitch (ISTFT round-trip)."""
+    """Stretch audio duration by 1/rate at constant pitch (ISTFT round-trip).
+
+    ``impl="matmul"`` runs the forward and inverse DFTs on the MXU (faster on
+    TPU and sharding-clean); ``impl="fft"`` uses XLA's FFT.
+    """
     if rate <= 0:
         raise ValueError("rate must be positive")
-    spec = stft(x, n_fft=n_fft, hop=hop, window=window)
+    spec = stft(x, n_fft=n_fft, hop=hop, window=window, impl=impl)
     out = phase_vocoder(spec, rate, hop, n_fft)
     length = int(round(x.shape[-1] / rate))
-    return istft(out, n_fft=n_fft, hop=hop, window=window, length=length)
+    return istft(out, n_fft=n_fft, hop=hop, window=window, length=length, impl=impl)
 
 
 def pitch_shift(

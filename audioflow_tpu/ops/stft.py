@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ._mm import mm
@@ -31,11 +32,15 @@ def stft(
     center: bool = True,
     pad_mode: str = "reflect",
     dtype=jnp.float32,
+    impl: str = "fft",
 ) -> jnp.ndarray:
     """Short-time Fourier transform.
 
     Args:
       x: real signal ``[..., T]``.
+      impl: "fft" (XLA FFT) or "matmul" (two MXU dots against windowed
+        cos/sin banks — faster on TPU at moderate n_fft and, unlike the FFT
+        op, partitions cleanly under batch sharding).
     Returns:
       complex64 spectrogram ``[..., n_frames, n_fft // 2 + 1]``
       (time-major: frame axis before frequency axis, the natural layout for
@@ -44,16 +49,22 @@ def stft(
     win_length = win_length or n_fft
     if win_length > n_fft:
         raise ValueError("win_length must be <= n_fft")
+    if center:
+        widths = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        x = jnp.pad(x, widths, mode=pad_mode)
+    frames = frame(x.astype(dtype), n_fft, hop)
+    if impl == "matmul":
+        cosb, sinb = _dft_banks(n_fft, window, win_length)
+        re = mm(frames, jnp.asarray(cosb, dtype))
+        im = mm(frames, jnp.asarray(sinb, dtype))
+        return jax.lax.complex(re, im)
+    if impl != "fft":
+        raise ValueError(f"unknown stft impl {impl!r}; known: fft, matmul")
     w = get_window(window, win_length, periodic=True)
     if win_length < n_fft:  # center-pad window to n_fft
         pad = n_fft - win_length
         w = np.pad(w, (pad // 2, pad - pad // 2))
     w = jnp.asarray(w, dtype=dtype)
-
-    if center:
-        widths = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
-        x = jnp.pad(x, widths, mode=pad_mode)
-    frames = frame(x.astype(dtype), n_fft, hop)
     return jnp.fft.rfft(frames * w, n=n_fft, axis=-1)
 
 
@@ -130,6 +141,24 @@ def spectrogram(
     return p if power else jnp.sqrt(p)
 
 
+def _idft_banks(n_fft: int):
+    """Inverse real-DFT banks: irfft(X) == Re(X) @ ci + Im(X) @ si."""
+    key = ("idft", n_fft)
+    if key not in _BANK_CACHE:
+        n_bins = n_fft // 2 + 1
+        k = np.arange(n_bins, dtype=np.float64)[:, None]
+        n = np.arange(n_fft, dtype=np.float64)[None, :]
+        ang = 2.0 * np.pi * k * n / n_fft
+        weights = np.full((n_bins, 1), 2.0)
+        weights[0] = 1.0
+        if n_fft % 2 == 0:
+            weights[-1] = 1.0
+        ci = (weights * np.cos(ang) / n_fft).astype(np.float32)
+        si = (-weights * np.sin(ang) / n_fft).astype(np.float32)
+        _BANK_CACHE[key] = (ci, si)
+    return _BANK_CACHE[key]
+
+
 def istft(
     spec: jnp.ndarray,
     n_fft: int = 1024,
@@ -139,11 +168,13 @@ def istft(
     center: bool = True,
     length: int | None = None,
     dtype=jnp.float32,
+    impl: str = "fft",
 ) -> jnp.ndarray:
     """Inverse STFT with synthesis-window (WOLA) normalization.
 
     ``length`` trims/defines the output sample count; defaults to
-    ``n_frames * hop`` for center=True.
+    ``n_frames * hop`` for center=True. ``impl="matmul"`` evaluates the
+    inverse real DFT as two MXU dots (see :func:`stft`).
     """
     win_length = win_length or n_fft
     w = get_window(window, win_length, periodic=True)
@@ -152,7 +183,16 @@ def istft(
         w = np.pad(w, (pad // 2, pad - pad // 2))
     w = jnp.asarray(w, dtype=dtype)
     n = spec.shape[-2]
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1).astype(dtype)
+    if impl == "matmul":
+        ci, si = _idft_banks(n_fft)
+        frames = mm(jnp.real(spec).astype(dtype), jnp.asarray(ci)) + mm(
+            jnp.imag(spec).astype(dtype), jnp.asarray(si)
+        )
+        frames = frames.astype(dtype)
+    elif impl == "fft":
+        frames = jnp.fft.irfft(spec, n=n_fft, axis=-1).astype(dtype)
+    else:
+        raise ValueError(f"unknown istft impl {impl!r}; known: fft, matmul")
     y = overlap_add(frames * w, hop)
     wsq = overlap_add(jnp.broadcast_to(w * w, frames.shape), hop)
     y = y / jnp.maximum(wsq, 1e-11)

@@ -103,3 +103,37 @@ def test_spectrogram_node_streaming_matches_offline(rng):
     offline = np.asarray(g.chain(jnp.asarray(x)))
     n = min(len(streamed) - lat, len(offline))
     np.testing.assert_allclose(streamed[lat : lat + n], offline[:n], atol=2e-4 * offline.max())
+
+
+@pytest.mark.parametrize("center", [True, False])
+def test_stft_matmul_impl_matches_fft(rng, center):
+    x = rng.standard_normal(8192).astype(np.float32)
+    a = np.asarray(stft(jnp.asarray(x), 1024, 256, center=center, impl="matmul"))
+    b = np.asarray(stft(jnp.asarray(x), 1024, 256, center=center, impl="fft"))
+    np.testing.assert_allclose(a, b, atol=2e-4 * np.abs(b).max())
+
+
+def test_istft_matmul_impl_matches_fft(rng):
+    x = rng.standard_normal(8192).astype(np.float32)
+    spec = stft(jnp.asarray(x), 512, 128)
+    a = np.asarray(istft(spec, 512, 128, length=8192, impl="matmul"))
+    b = np.asarray(istft(spec, 512, 128, length=8192, impl="fft"))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_istft_matmul_odd_nfft(rng):
+    """Nyquist weighting differs for odd n_fft; irfft parity check."""
+    spec = jnp.asarray((rng.standard_normal((5, 251)) + 1j * rng.standard_normal((5, 251))).astype(np.complex64))
+    from audioflow_tpu.ops.stft import _idft_banks
+
+    ci, si = _idft_banks(500)
+    got = np.real(np.asarray(spec)) @ ci + np.imag(np.asarray(spec)) @ si
+    want = np.fft.irfft(np.asarray(spec), n=500, axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_stft_bad_impl():
+    with pytest.raises(ValueError):
+        stft(jnp.zeros(4096), impl="nope")
+    with pytest.raises(ValueError):
+        istft(jnp.zeros((4, 513), jnp.complex64), impl="nope")
