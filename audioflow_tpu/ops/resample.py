@@ -47,19 +47,24 @@ from ._mm import mm
 # --------------------------------------------------------------------------
 
 def kaiser_sinc_bank(up: int, down: int, half_width: int = 16, beta: float = 8.555) -> np.ndarray:
-    """Windowed-sinc polyphase bank ``[up, K]``, K = 2*half_width + 1.
+    """Windowed-sinc polyphase bank ``[up, K]``.
 
-    The underlying prototype lowpass has odd length ``N = 2*half_width*up + 1``
-    at the upsampled rate, cutoff ``1/max(up, down)`` (normalized), gain
-    ``up`` to compensate zero-stuffing. bank[p, t] = h_full[(K-1-t)*up + p],
-    so ``y[n] = sum_t bank[p, t] * x[n*down//up - half_width + t]``.
+    ``half_width`` is scaled by ``ceil(down/up)`` when decimating so the
+    anti-alias lowpass keeps ~2*half_width taps per *output* period — a
+    fixed-length prototype would be far too short for strong decimation
+    (e.g. 96k->16k). Effective K = 2*half_width*ceil(down/up) + 1; the
+    prototype has odd length ``N = (K-1)*up + 1`` at the upsampled rate,
+    cutoff ``1/max(up, down)`` (normalized), gain ``up`` to compensate
+    zero-stuffing. bank[p, t] = h_full[(K-1-t)*up + p], so
+    ``y[n] = sum_t bank[p, t] * x[n*down//up - (K-1)//2 + t]``.
     """
-    n_total = 2 * half_width * up + 1
-    c = half_width * up  # (N-1)/2, exactly divisible by up
+    half_eff = half_width * max(1, cdiv(down, up))
+    n_total = 2 * half_eff * up + 1
+    c = half_eff * up  # (N-1)/2, exactly divisible by up
     fc = 1.0 / max(up, down)
     k = np.arange(n_total, dtype=np.float64) - c
     h = up * fc * np.sinc(fc * k) * np.kaiser(n_total, beta)
-    k_taps = 2 * half_width + 1
+    k_taps = 2 * half_eff + 1
     h_pad = np.zeros(k_taps * up, dtype=np.float64)
     h_pad[:n_total] = h
     bank = np.zeros((up, k_taps), dtype=np.float64)
@@ -94,8 +99,13 @@ def linear_bank(up: int) -> np.ndarray:
     return np.concatenate([1.0 - f, f], axis=1)
 
 
+def _kaiser_entry(up, down, **kw):
+    bank = kaiser_sinc_bank(up, down, **kw)
+    return bank, -((bank.shape[1] - 1) // 2)
+
+
 _BANKS = {
-    "kaiser": lambda L, M, **kw: (kaiser_sinc_bank(L, M, **kw), -kw.get("half_width", 16)),
+    "kaiser": _kaiser_entry,
     "cubic": lambda L, M, **kw: (cubic_lagrange_bank(L), -1),
     "linear": lambda L, M, **kw: (linear_bank(L), 0),
 }

@@ -45,7 +45,8 @@ def run_validation(seed: int = 0) -> dict:
     up, down = rational_rate(44100, 16000)
     bank = kaiser_sinc_bank(up, down, 16)
     got = np.asarray(ops.resample(jnp.asarray(x), 44100, 16000, "kaiser"))
-    want = _oracle_polyphase(x, bank, up, down, -16, cdiv(len(x) * up, down))
+    offset = -((bank.shape[1] - 1) // 2)
+    want = _oracle_polyphase(x, bank, up, down, offset, cdiv(len(x) * up, down))
     report["resample_kaiser"] = float(np.abs(got - want).max())
 
     # resample cubic (rubato-parity polynomial)

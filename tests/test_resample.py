@@ -109,3 +109,26 @@ def test_resample_apply_explicit_n_out(rng):
     plan = make_plan(48000, 16000, "cubic")
     y = resample_apply(x, plan, n_out=100)
     assert y.shape == (100,)
+
+
+def test_linear_mode(rng):
+    """2-tap linear interpolation mode (rubato Linear analog)."""
+    x = np.arange(300, dtype=np.float32)  # exactly linear signal
+    y = np.asarray(resample(jnp.asarray(x), 48000, 32000, mode="linear"))
+    # linear interp of a linear ramp is exact: y[n] = n * 1.5
+    n = np.arange(len(y) - 3)
+    np.testing.assert_allclose(y[: len(n)], n * 1.5, atol=1e-4)
+
+
+@pytest.mark.parametrize("rates", [(8000, 48000), (96000, 16000), (22050, 44100)])
+def test_extreme_ratio_round_trips(rng, rates):
+    """Strong up/down ratios keep bandlimited content intact."""
+    in_rate, out_rate = rates
+    f0 = min(in_rate, out_rate) * 0.1
+    t = np.arange(in_rate) / in_rate
+    x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    y = np.asarray(resample(jnp.asarray(x), in_rate, out_rate))
+    t2 = np.arange(len(y)) / out_rate
+    want = np.sin(2 * np.pi * f0 * t2)
+    m = len(y) // 10
+    np.testing.assert_allclose(y[m:-m], want[m : len(y) - m], atol=5e-3)

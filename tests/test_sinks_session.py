@@ -218,3 +218,21 @@ def test_flush_returns_final_result(rng):
     sess.push(rng.standard_normal(100).astype(np.float32))
     res = sess.flush()
     assert res is not None and res.final
+
+
+def test_session_batched_lead_shape(rng):
+    """Sessions drive a whole file batch per stream (lead_shape)."""
+    g = _graph()
+    chunk = g.chunk_granularity() * 2
+    x = rng.standard_normal((3, chunk * 2)).astype(np.float32)
+    sess = StreamSession(g, chunk_in=chunk, lead_shape=(3,))
+    with sess:
+        sess.push(x)
+        results = sess.poll_all()
+    assert all(r.data.shape[0] == 3 for r in results)
+    streamed = np.concatenate([r.data for r in results], axis=-1)
+    single = StreamSession(g, chunk_in=chunk)
+    with single:
+        single.push(x[1])
+        one = np.concatenate([r.data for r in single.poll_all()], axis=-1)
+    np.testing.assert_allclose(streamed[1][: len(one)], one, atol=1e-6)
