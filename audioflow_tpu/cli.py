@@ -290,6 +290,90 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_key(args) -> int:
+    """API-key storage (store/retrieve/delete parity, secure_storage.rs:18-33)."""
+    from .config import EnvKeyStorage, FileKeyStorage
+
+    store = FileKeyStorage(args.file) if args.file else EnvKeyStorage()
+    if args.action == "set":
+        if not args.value:
+            raise SystemExit("key set needs a value")
+        store.store(args.account, args.value)
+        print(f"stored key for {args.account}")
+    elif args.action == "get":
+        print(store.retrieve(args.account))
+    elif args.action == "delete":
+        store.delete(args.account)
+        print(f"deleted key for {args.account}")
+    return 0
+
+
+def cmd_egress(args) -> int:
+    """The reference's full dictation egress, end to end: WAV -> (VAD gate) ->
+    resample to 16 kHz -> i16 wire chunks -> WebSocket, printing transcript
+    events (connect_scribe + send_audio + receive_transcription parity,
+    commands.rs:202-306)."""
+    import jax.numpy as jnp
+
+    from .graph import Resample, VadGate, chain
+    from .io import read_wav
+    from .session.transcript import TranscriptAccumulator, parse_scribe_message
+    from .sinks import WebSocketClient, WebSocketConfig
+    from .sinks.websocket import Opcode
+
+    data, rate = read_wav(args.input)
+    if data.ndim == 2:
+        data = data.mean(axis=1).astype(np.float32)
+    nodes = []
+    if args.vad_gate:
+        nodes.append(VadGate(frame_len=rate * 20 // 1000))
+    if rate != 16000:
+        nodes.append(Resample(rate, 16000, "cubic"))
+    g = chain(*nodes, input_rate=rate) if nodes else None
+
+    cfg = ConfigManager(args.config).load() if args.config else ConfigManager().current()
+    api_key = args.api_key or ""
+    if not api_key and cfg.api.api_key_env:
+        import os as _os
+
+        api_key = _os.environ.get(cfg.api.api_key_env, "")
+    client = WebSocketClient(
+        WebSocketConfig(
+            url=args.url,
+            api_key=api_key,
+            connect_timeout_s=cfg.api.connect_timeout_s,
+            reconnect_delay_ms=cfg.api.reconnect_delay_ms,
+            max_reconnect_attempts=cfg.api.max_reconnect_attempts,
+        )
+    )
+    client.connect_with_retry()
+    client.send_init_config(cfg.api.model_id, cfg.api.language_code)
+    pcm = np.asarray(g.compile()(jnp.asarray(data))) if g else data
+    chunk = args.chunk or 16000 // 5  # 200 ms
+    sent = 0
+    for i in range(0, len(pcm), chunk):
+        client.send_audio(pcm[i : i + chunk])
+        sent += 1
+    acc = TranscriptAccumulator()
+    results = []
+    try:
+        while True:
+            msg = client.receive(timeout=args.receive_timeout)
+            if msg.opcode is not Opcode.TEXT:
+                break
+            out = acc.feed(parse_scribe_message(msg.text))
+            if out:
+                results.append(out)
+                print(json.dumps(out))
+                if out["is_final"]:
+                    break
+    except AudioFlowError:
+        pass  # timeout/close ends the receive loop
+    client.close()
+    print(json.dumps({"chunks_sent": sent, "results": len(results)}))
+    return 0
+
+
 def cmd_vad(args) -> int:
     from .io import read_wav
     from .models import vad_graph
@@ -396,6 +480,23 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--push-size", type=int)
     s.add_argument("--config")
     s.set_defaults(fn=cmd_stream)
+
+    k = sub.add_parser("key", help="API-key storage (env or secrets file)")
+    k.add_argument("action", choices=["set", "get", "delete"])
+    k.add_argument("account", nargs="?", default="elevenlabs")
+    k.add_argument("value", nargs="?")
+    k.add_argument("--file", help="use a secrets file instead of env vars")
+    k.set_defaults(fn=cmd_key)
+
+    e = sub.add_parser("egress", help="stream a WAV to a WebSocket ASR endpoint")
+    e.add_argument("--input", "-i", required=True)
+    e.add_argument("--url", required=True)
+    e.add_argument("--api-key")
+    e.add_argument("--chunk", type=int, default=0, help="samples per wire chunk")
+    e.add_argument("--vad-gate", action="store_true", help="mute non-speech before sending")
+    e.add_argument("--receive-timeout", type=float, default=5.0)
+    e.add_argument("--config")
+    e.set_defaults(fn=cmd_egress)
 
     v = sub.add_parser("vad", help="voice-activity segments of a WAV")
     v.add_argument("--input", "-i", required=True)

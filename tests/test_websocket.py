@@ -202,3 +202,109 @@ def test_send_without_connect_raises():
     c = WebSocketClient()
     with pytest.raises(IOError_):
         c.send_text("nope")
+
+
+class FakeScribeServer(FakeWsServer):
+    """Replies like the ASR service: session_started, then a partial and a
+    committed transcript after the first audio chunk."""
+
+    def run(self):
+        import base64 as b64, hashlib as hl
+
+        conn, _ = self.sock.accept()
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            buf += conn.recv(4096)
+        head = buf.split(b"\r\n\r\n", 1)[0].decode()
+        lines = head.split("\r\n")
+        self.request_line = lines[0]
+        self.headers = {
+            k.strip().lower(): v.strip() for k, _, v in (ln.partition(":") for ln in lines[1:])
+        }
+        key = self.headers["sec-websocket-key"]
+        accept = b64.b64encode(hl.sha1((key + _MAGIC).encode()).digest()).decode()
+        conn.sendall(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+                f"Connection: Upgrade\r\nSec-WebSocket-Accept: {accept}\r\n\r\n"
+            ).encode()
+        )
+
+        def send_text(obj):
+            payload = json.dumps(obj).encode()
+            conn.sendall(bytes([0x81]) + self._len_hdr(len(payload)) + payload)
+
+        send_text({"message_type": "session_started", "session_id": "fake-1"})
+        got_audio = 0
+        for _ in range(200):
+            hdr = self._read_exact(conn, 2)
+            if len(hdr) < 2:
+                break
+            b0, b1 = hdr
+            op = b0 & 0xF
+            n = b1 & 0x7F
+            if n == 126:
+                (n,) = struct.unpack(">H", self._read_exact(conn, 2))
+            mask = self._read_exact(conn, 4) if b1 & 0x80 else b""
+            payload = self._read_exact(conn, n)
+            if mask:
+                payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            if op == 0x8:
+                break
+            try:
+                obj = json.loads(payload)
+            except Exception:
+                continue
+            self.received.append((obj.get("message_type"), len(payload)))
+            if obj.get("message_type") == "input_audio_chunk":
+                got_audio += 1
+                if got_audio == 1:
+                    send_text({"message_type": "partial_transcript", "text": "turn on"})
+                elif got_audio == 3:
+                    send_text(
+                        {
+                            "message_type": "committed_transcript",
+                            "text": "【SPEECH_CHANGE】turn on the lights【SILENCE】",
+                            "confidence": 0.95,
+                        }
+                    )
+        conn.close()
+
+
+def test_cli_egress_end_to_end(tmp_path, capsys, monkeypatch):
+    """commands.rs connect_scribe/send_audio/receive_transcription parity,
+    end to end over a real socket."""
+    import numpy as np
+
+    from audioflow_tpu.cli import main as cli_main
+    from audioflow_tpu.io import write_wav
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    wav = tmp_path / "say.wav"
+    write_wav(wav, (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32), rate)
+    srv = FakeScribeServer(require_key=None)
+    srv.start()
+    rc = cli_main(
+        ["egress", "-i", str(wav), "--url", f"ws://127.0.0.1:{srv.port}/v1/scribe",
+         "--api-key", "sk-cli", "--receive-timeout", "3.0"]
+    )
+    assert rc == 0
+    out_lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    finals = [o for o in out_lines if o.get("is_final")]
+    assert finals and finals[0]["text"] == "turn on the lights"  # markers stripped
+    summary = out_lines[-1]
+    assert summary["chunks_sent"] == 5 and summary["results"] >= 2
+    srv.join(3)
+    assert ("configure", srv.received[0][1]) == srv.received[0] or srv.received[0][0] == "configure"
+
+
+def test_cli_key_roundtrip(tmp_path, capsys):
+    from audioflow_tpu.cli import main as cli_main
+
+    f = str(tmp_path / "sec.json")
+    assert cli_main(["key", "set", "elevenlabs", "sk-42", "--file", f]) == 0
+    capsys.readouterr()
+    assert cli_main(["key", "get", "elevenlabs", "--file", f]) == 0
+    assert capsys.readouterr().out.strip() == "sk-42"
+    assert cli_main(["key", "delete", "elevenlabs", "--file", f]) == 0
