@@ -444,6 +444,12 @@ def cmd_validate(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="audioflow", description=__doc__)
     p.add_argument("--log-level", default="info")
+    p.add_argument(
+        "--precision",
+        choices=["highest", "high", "default"],
+        help="MXU precision for fidelity-critical matmuls (highest = full f32, "
+        "the default; 'default' = bf16 fast mode, ~1e-3 error)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("devices", help="list compute devices")
@@ -516,6 +522,10 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
     setup_logging(args.log_level)
+    if args.precision:
+        from .ops import set_default_matmul_precision
+
+        set_default_matmul_precision(args.precision)
     try:
         return args.fn(args)
     except AudioFlowError as e:

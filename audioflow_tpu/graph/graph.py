@@ -65,19 +65,32 @@ class Graph:
         object.__setattr__(self, "output_rate", rate)
 
     # ------------------------------------------------------------------ chain
-    def chain(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Apply all nodes (traceable; call under jit for one XLA program)."""
-        for node in self.nodes:
+    def chain(self, x: jnp.ndarray, taps: tuple[int, ...] = ()) -> jnp.ndarray:
+        """Apply all nodes (traceable; call under jit for one XLA program).
+
+        ``taps`` are node indices whose outputs are also returned — one
+        program yields intermediate products for free (e.g. VAD states *and*
+        log-mel features), since XLA keeps the shared prefix computed once.
+        With taps the return is ``(final, {idx: tapped_output, ...})``.
+        """
+        tapped = {}
+        for i, node in enumerate(self.nodes):
             x = node.apply(x)
-        return x
+            if i in taps:
+                tapped[i] = x
+        return (x, tapped) if taps else x
 
     def __call__(self, x):
         return self.chain(x)
 
-    def compile(self, donate: bool = False) -> Callable:
-        """One jitted program for the whole chain."""
-        fn = jax.jit(self.chain, donate_argnums=(0,) if donate else ())
-        return fn
+    def compile(self, donate: bool = False, taps: tuple[int, ...] = ()) -> Callable:
+        """One jitted program for the whole chain (optionally with taps)."""
+        if taps:
+            bad = [i for i in taps if not 0 <= i < len(self.nodes)]
+            if bad:
+                raise ConfigError(f"tap indices out of range: {bad}")
+            return jax.jit(lambda x: self.chain(x, taps=tuple(taps)))
+        return jax.jit(self.chain, donate_argnums=(0,) if donate else ())
 
     # -------------------------------------------------------------- streaming
     @property

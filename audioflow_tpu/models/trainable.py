@@ -32,6 +32,8 @@ class TrainableFrontend:
     n_mels: int = 64
     n_classes: int = 10
     smoothing: float = 0.04  # PCEN EMA coefficient (fixed; scan carry-free via conv)
+    remat: bool = False  # jax.checkpoint the feature extractor: trade FLOPs
+    # for HBM when the frontend feeds a large model (the standard TPU move)
 
     def init_params(self, seed: int = 0) -> dict:
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
@@ -68,7 +70,8 @@ class TrainableFrontend:
         return pcen
 
     def logits(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
-        feats = self.features(params, x).mean(axis=-2)  # [batch, n_mels]
+        feat_fn = jax.checkpoint(self.features) if self.remat else self.features
+        feats = feat_fn(params, x).mean(axis=-2)  # [batch, n_mels]
         return feats @ params["w"] + params["b"]
 
     def loss(self, params: dict, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

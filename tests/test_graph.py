@@ -213,3 +213,16 @@ def test_streaming_center_true_rejected():
     g2 = chain(Spectrogram(512, 128, center=True), input_rate=16000)
     with pytest.raises(AudioError, match="center=False"):
         g2.chunk_lens(1024)
+
+
+def test_graph_taps(rng):
+    """One program yields intermediate outputs (flow-graph DAG taps)."""
+    g = _logmel_graph()
+    x = jnp.asarray(rng.standard_normal(48000).astype(np.float32))
+    final, tapped = g.compile(taps=(0, 1))(x)
+    assert set(tapped) == {0, 1}
+    assert tapped[0].shape == (16000,)  # post-resample samples
+    assert tapped[1].dtype == jnp.complex64  # post-stft spectrum
+    np.testing.assert_allclose(np.asarray(final), np.asarray(g.compile()(x)), atol=1e-6)
+    with pytest.raises(ConfigError):
+        g.compile(taps=(99,))

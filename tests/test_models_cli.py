@@ -206,3 +206,27 @@ def test_cli_run_batched(tmp_path, capsys):
     assert res["files"] == 5 and res["batches"] == 3
     arr = np.load(tmp_path / "o.npy")
     assert arr.shape[0] == 5
+
+
+def test_trainable_remat_matches(rng):
+    model = TrainableFrontend(n_fft=256, hop=128, n_mels=8, n_classes=2)
+    model_r = TrainableFrontend(n_fft=256, hop=128, n_mels=8, n_classes=2, remat=True)
+    params = model.init_params()
+    x = jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32))
+    y = jnp.asarray(np.array([0, 1], np.int32))
+    import jax
+
+    g1 = jax.grad(model.loss)(params, x, y)
+    g2 = jax.grad(model_r.loss)(params, x, y)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]), atol=1e-6)
+
+
+def test_cli_precision_flag(tmp_path, capsys):
+    from audioflow_tpu.ops import get_default_matmul_precision, set_default_matmul_precision
+
+    try:
+        assert cli_main(["--precision", "high", "info"]) == 0
+        assert get_default_matmul_precision() == "high"
+    finally:
+        set_default_matmul_precision("highest")
