@@ -9,7 +9,6 @@ bit-identical output.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

@@ -11,13 +11,10 @@ from ..graph import (
     BiquadChain,
     Graph,
     Limiter,
-    Magnitude,
     MelProject,
-    Power,
     QuantizeI16,
     Resample,
     Spectrogram,
-    Stft,
     Vad,
     chain,
 )

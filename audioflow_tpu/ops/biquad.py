@@ -31,7 +31,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..utils import cdiv
 from ._mm import mm
 
 

@@ -13,7 +13,6 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..utils import cdiv
 from .resample import resample
 from .stft import istft, stft
 

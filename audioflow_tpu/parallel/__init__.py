@@ -97,17 +97,13 @@ def compile_sharded(graph, mesh: Mesh, axis: str = "data", donate: bool = False)
 
     Output shardings are left to XLA (it propagates the batch sharding
     through the embarrassingly-parallel chain, so no collectives appear on
-    the hot path).
+    the hot path — asserted on HLO in tests).
     """
-    in_sh = NamedSharding(mesh, P(axis))  # leading axis sharded, rest replicated
-
-    fn = jax.jit(
+    return jax.jit(
         graph.chain,
         in_shardings=(NamedSharding(mesh, P(axis, None)),),
         donate_argnums=(0,) if donate else (),
     )
-    del in_sh
-    return fn
 
 
 def mask_lanes(out, valid_mask) -> tuple:

@@ -24,15 +24,13 @@ from __future__ import annotations
 import base64
 import enum
 import hashlib
-import json
-import os
 import secrets
 import socket
 import ssl
 import struct
 import time
 import urllib.parse
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
