@@ -170,12 +170,25 @@ def cmd_run(args) -> int:
         from .io import BatchLoader, wav
         from .runner import run_batches
 
+        def _probe_head(path):
+            # fmt/data chunks usually sit in the first 4 KB, but LIST/bext
+            # metadata can push them far deeper — grow the head until the
+            # header parses (full read as the last resort)
+            for head in (4096, 1 << 16, None):
+                with open(path, "rb") as fh:
+                    buf = fh.read(head) if head else fh.read()
+                try:
+                    return wav.probe(buf, truncated=True)
+                except Exception:
+                    if head is None:
+                        raise
+            raise AssertionError  # unreachable
+
         max_frames, rate_votes = 1, {}
         for f in files:
             try:
                 size = os.path.getsize(f)
-                with open(f, "rb") as fh:
-                    info = wav.probe(fh.read(4096), truncated=True)
+                info = _probe_head(f)
             except Exception:
                 continue
             # clamp the declared size against the actual file size: streaming
@@ -293,17 +306,22 @@ def cmd_stream(args) -> int:
 def cmd_key(args) -> int:
     """API-key storage (store/retrieve/delete parity, secure_storage.rs:18-33)."""
     from .config import EnvKeyStorage, FileKeyStorage
+    from .errors import ConfigError
 
-    store = FileKeyStorage(args.file) if args.file else EnvKeyStorage()
+    file_store = FileKeyStorage(args.file) if args.file else FileKeyStorage()
     if args.action == "set":
         if not args.value:
             raise SystemExit("key set needs a value")
-        store.store(args.account, args.value)
-        print(f"stored key for {args.account}")
+        # env vars die with this process; persistent set always uses the file
+        file_store.store(args.account, args.value)
+        print(f"stored key for {args.account} in {file_store.path}")
     elif args.action == "get":
-        print(store.retrieve(args.account))
+        try:
+            print(EnvKeyStorage().retrieve(args.account))  # env wins (cluster practice)
+        except ConfigError:
+            print(file_store.retrieve(args.account))
     elif args.action == "delete":
-        store.delete(args.account)
+        file_store.delete(args.account)
         print(f"deleted key for {args.account}")
     return 0
 
@@ -334,9 +352,7 @@ def cmd_egress(args) -> int:
     cfg = ConfigManager(args.config).load() if args.config else ConfigManager().current()
     api_key = args.api_key or ""
     if not api_key and cfg.api.api_key_env:
-        import os as _os
-
-        api_key = _os.environ.get(cfg.api.api_key_env, "")
+        api_key = os.environ.get(cfg.api.api_key_env, "")
     client = WebSocketClient(
         WebSocketConfig(
             url=args.url,
@@ -350,25 +366,37 @@ def cmd_egress(args) -> int:
     client.send_init_config(cfg.api.model_id, cfg.api.language_code)
     pcm = np.asarray(g.compile()(jnp.asarray(data))) if g else data
     chunk = args.chunk or 16000 // 5  # 200 ms
+    acc = TranscriptAccumulator()
+    results = []
+    done = False
+
+    def drain(timeout):
+        """Consume any pending replies; True once a final transcript lands."""
+        nonlocal done
+        try:
+            while not done:
+                msg = client.receive(timeout=timeout)
+                if msg.opcode is not Opcode.TEXT:
+                    done = True
+                    break
+                out = acc.feed(parse_scribe_message(msg.text))
+                if out:
+                    results.append(out)
+                    print(json.dumps(out))
+                    if out["is_final"]:
+                        done = True
+        except AudioFlowError:
+            pass  # timeout/close ends this drain
+
     sent = 0
     for i in range(0, len(pcm), chunk):
         client.send_audio(pcm[i : i + chunk])
         sent += 1
-    acc = TranscriptAccumulator()
-    results = []
-    try:
-        while True:
-            msg = client.receive(timeout=args.receive_timeout)
-            if msg.opcode is not Opcode.TEXT:
-                break
-            out = acc.feed(parse_scribe_message(msg.text))
-            if out:
-                results.append(out)
-                print(json.dumps(out))
-                if out["is_final"]:
-                    break
-    except AudioFlowError:
-        pass  # timeout/close ends the receive loop
+        # interleave receives with sends so a chatty server can't fill both
+        # TCP buffers and deadlock the send loop (reference behavior)
+        drain(timeout=0.005)
+    if not done:
+        drain(timeout=args.receive_timeout)
     client.close()
     print(json.dumps({"chunks_sent": sent, "results": len(results)}))
     return 0

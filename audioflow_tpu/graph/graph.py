@@ -85,12 +85,13 @@ class Graph:
 
     def compile(self, donate: bool = False, taps: tuple[int, ...] = ()) -> Callable:
         """One jitted program for the whole chain (optionally with taps)."""
+        donate_args = (0,) if donate else ()
         if taps:
             bad = [i for i in taps if not 0 <= i < len(self.nodes)]
             if bad:
                 raise ConfigError(f"tap indices out of range: {bad}")
-            return jax.jit(lambda x: self.chain(x, taps=tuple(taps)))
-        return jax.jit(self.chain, donate_argnums=(0,) if donate else ())
+            return jax.jit(lambda x: self.chain(x, taps=tuple(taps)), donate_argnums=donate_args)
+        return jax.jit(self.chain, donate_argnums=donate_args)
 
     # -------------------------------------------------------------- streaming
     @property

@@ -4,6 +4,7 @@ trainable feature-frontend for gradient-based use."""
 from .pipelines import (
     eq_bands_default,
     eq_chain_graph,
+    kaldi_fbank_frontend,
     log_mel_frontend,
     master_chain_graph,
     stft_magnitude_graph,
@@ -20,10 +21,7 @@ __all__ = [
     "make_train_step",
     "master_chain_graph",
     "stft_magnitude_graph",
+    "kaldi_fbank_frontend",
     "vad_graph",
     "wire_egress_graph",
 ]
-
-from .pipelines import kaldi_fbank_frontend  # noqa: E402
-
-__all__.append("kaldi_fbank_frontend")

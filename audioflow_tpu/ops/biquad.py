@@ -212,6 +212,8 @@ def iir_apply(
     n_full = t_len // bk
     tail = t_len - n_full * bk
     lead = x.shape[:-1]
+    if t_len == 0:
+        return x, (zi if zi is not None else jnp.zeros((*lead, plan.order), x.dtype))
     dt = x.dtype if x.dtype != jnp.float64 else jnp.float32
     t_m = jnp.asarray(plan.t_mat, dt)
     o_m = jnp.asarray(plan.o_mat, dt)

@@ -94,13 +94,13 @@ def run_batches(
             else:
                 xd = jnp.asarray(x)
             if first:
+                # compile separately from execution so subtracting
+                # compile_seconds from the wall never hides real compute
                 with Timer() as tc:
-                    out = fn(xd)
-                    _sync_scalar(out)
+                    fn = fn.lower(xd).compile()
                 m.compile_seconds = tc.elapsed
                 first = False
-            else:
-                out = fn(xd)  # async dispatch; overlaps with the next decode
+            out = fn(xd)  # async dispatch; overlaps with the next decode
             if pending is not None:
                 _flush(pending)
             pending = (out[: len(batch.paths)], batch)

@@ -103,9 +103,11 @@ class WebSocketClient:
         shared RetryPolicy schedule from :mod:`audioflow_tpu.errors`."""
         from ..errors import RetryPolicy
 
+        base = self.config.reconnect_delay_ms / 1000.0
         policy = RetryPolicy(
             max_attempts=self.config.max_reconnect_attempts,
-            base_delay_s=self.config.reconnect_delay_ms / 1000.0,
+            base_delay_s=base,
+            max_delay_s=max(2.0, base * 8),  # never cap below the configured delay
         )
         last: IOError_ | None = None
         for attempt in range(policy.max_attempts):
