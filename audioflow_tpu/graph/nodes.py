@@ -616,16 +616,71 @@ class VadGate(Node):
 @register_node
 @dataclass(frozen=True)
 class Istft(Node):
-    """Inverse STFT (WOLA): complex frames -> samples (offline; spectral
-    round-trip graphs, e.g. frequency-domain processing then resynthesis)."""
+    """Inverse STFT (WOLA): complex frames -> samples.
+
+    Streaming (requires center=False): a frame only contributes to samples at
+    or after its start, so emitting hop samples per frame is causally
+    complete with ZERO latency; the carry holds the pending overlap-add tail
+    plus the matching window-square tail, making the emitted stream exactly
+    equal to the offline ISTFT prefix (the final n_fft-hop tail stays
+    unflushed, mirroring the reference's streaming semantics of never
+    emitting partial-coverage samples).
+    """
 
     n_fft: int = 1024
     hop: int = 256
     window: str = "hann"
     center: bool = True
-    streamable = False
+    impl: str = "matmul"
     domain_in = "frames"
     domain_out = "samples"
 
     def apply(self, x):
-        return ops.istft(x, self.n_fft, self.hop, window=self.window, center=self.center)
+        return ops.istft(
+            x, self.n_fft, self.hop, window=self.window, center=self.center, impl=self.impl
+        )
+
+    # streaming: chunk unit is FRAMES in, hop*frames samples out
+    def validate_chunk(self, n_in):
+        if self.center:
+            raise AudioError(
+                "Istft: streaming requires center=False",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+
+    def out_len(self, n_in):
+        return n_in * self.hop
+
+    def _window(self):
+        return jnp.asarray(ops.get_window(self.window, self.n_fft, periodic=True), jnp.float32)
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        tail = self.n_fft - self.hop
+        return (
+            jnp.zeros((*lead_shape, tail), jnp.float32),
+            jnp.zeros((tail,), jnp.float32),
+        )
+
+    def step(self, carry, spec):
+        from ..ops.framing import overlap_add
+
+        ola_tail, wsum_tail = carry
+        w = self._window()
+        m = spec.shape[-2]
+        if self.impl == "matmul":
+            from ..ops.stft import _idft_banks
+            from ..ops._mm import mm
+
+            ci, si = _idft_banks(self.n_fft)
+            frames = mm(jnp.real(spec).astype(jnp.float32), jnp.asarray(ci)) + mm(
+                jnp.imag(spec).astype(jnp.float32), jnp.asarray(si)
+            )
+        else:
+            frames = jnp.fft.irfft(spec, n=self.n_fft, axis=-1).astype(jnp.float32)
+        y = overlap_add(frames * w, self.hop)
+        ws = overlap_add(jnp.broadcast_to(w * w, (m, self.n_fft)), self.hop)
+        tail = self.n_fft - self.hop
+        y = y.at[..., :tail].add(ola_tail)
+        ws = ws.at[:tail].add(wsum_tail)
+        emit = y[..., : m * self.hop] / jnp.maximum(ws[: m * self.hop], 1e-11)
+        return (y[..., m * self.hop :], ws[m * self.hop :]), emit
