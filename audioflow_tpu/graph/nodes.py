@@ -684,3 +684,106 @@ class Istft(Node):
         ws = ws.at[:tail].add(wsum_tail)
         emit = y[..., : m * self.hop] / jnp.maximum(ws[: m * self.hop], 1e-11)
         return (y[..., m * self.hop :], ws[m * self.hop :]), emit
+
+
+@register_node
+@dataclass(frozen=True)
+class PhaseVocoderStretch(Node):
+    """Streaming phase-vocoder time stretch: complex frames -> complex frames.
+
+    ``rate = rate_num/rate_den`` (> 1 speeds up). Streaming carries the
+    previous analysis frame (for fractional interpolation across chunk
+    boundaries) and the accumulated synthesis phase, so chunk outputs are
+    phase-continuous. Unlike the other nodes, the streamed output is NOT
+    bit-equal to the offline :func:`ops.phase_vocoder` — phase accumulation
+    starts from the zero-prehistory preroll rather than the first real frame
+    (a constant per-bin phase rotation; magnitudes match and resynthesis is
+    click-free). Compose as Stft(center=False) -> PhaseVocoderStretch ->
+    Istft(center=False) for streaming tempo change.
+    """
+
+    rate_num: int = 5
+    rate_den: int = 4
+    hop: int = 256
+    n_fft: int = 1024
+
+    domain_in = "frames"
+    domain_out = "frames"
+
+    def __post_init__(self):
+        import math as _math
+
+        if self.rate_num <= 0 or self.rate_den <= 0:
+            raise AudioError("rate must be positive", code=ErrorCode.CONFIG_VALIDATION_ERROR)
+        g = _math.gcd(self.rate_num, self.rate_den)
+        object.__setattr__(self, "rate_num", self.rate_num // g)
+        object.__setattr__(self, "rate_den", self.rate_den // g)
+
+    def apply(self, x):
+        return ops.phase_vocoder(x, self.rate_num / self.rate_den, self.hop, self.n_fft)
+
+    # --- streaming geometry: m input frames -> m*den/num output frames
+    def chunk_multiple(self):
+        return self.rate_num
+
+    def out_len(self, n_in):
+        return n_in * self.rate_den // self.rate_num
+
+    def latency(self, n_in):
+        # one-frame interpolation lookahead, expressed in output frames
+        return -(-self.rate_den // self.rate_num)
+
+    @property
+    def _history(self) -> int:
+        """Carried analysis frames: enough that delayed outputs never read
+        before the buffer start (s_rel >= 0 for the first output)."""
+        p, q = self.rate_num, self.rate_den
+        n0 = -(-q // p)
+        return max(1, -(-(n0 * p) // q))
+
+    def _plan(self, m):
+        """Static gather plan: buffer = [h history frames] + m new frames;
+        output u (local) is global j = k*mo + u - n0, analyzing
+        s_rel = (u - n0)*p/q + h relative to the buffer start."""
+        import numpy as np_
+
+        p, q = self.rate_num, self.rate_den
+        mo = m * q // p
+        n0 = -(-q // p)
+        h = self._history
+        u = np_.arange(mo)
+        s_rel = (u - n0) * p / q + h
+        lo = np_.floor(s_rel).astype(np_.int64)
+        frac = (s_rel - lo).astype(np_.float32)
+        assert lo.min() >= 0 and lo.max() + 1 <= m + h - 1, (lo.min(), lo.max(), m, h)
+        return mo, lo, lo + 1, frac
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        n_bins = self.n_fft // 2 + 1
+        return (
+            jnp.zeros((*lead_shape, self._history, n_bins), jnp.complex64),
+            jnp.zeros((*lead_shape, n_bins), jnp.float32),  # accumulated phase
+        )
+
+    def step(self, carry, spec):
+        import numpy as np_
+
+        prev, phase_acc = carry
+        m = spec.shape[-2]
+        mo, lo, hi, frac = self._plan(m)
+        buf = jnp.concatenate([prev, spec], axis=-2)  # [.., h+m, bins]
+        s_lo, s_hi = buf[..., lo, :], buf[..., hi, :]
+        fr = jnp.asarray(frac)[..., None]
+        mag = (1.0 - fr) * jnp.abs(s_lo) + fr * jnp.abs(s_hi)
+        n_bins = spec.shape[-1]
+        phi_adv = jnp.asarray(
+            (2.0 * np_.pi * self.hop / self.n_fft) * np_.arange(n_bins, dtype=np_.float32)
+        )
+        two_pi = 2.0 * np_.pi
+        d = jnp.angle(s_hi) - jnp.angle(s_lo) - phi_adv
+        d = d - two_pi * jnp.round(d / two_pi)
+        increments = phi_adv + d  # [.., mo, bins]
+        phase = phase_acc[..., None, :] + jnp.cumsum(increments, axis=-2)
+        out = mag * jnp.exp(1j * phase)
+        new_carry = (buf[..., -self._history :, :], phase[..., -1, :])
+        return new_carry, out

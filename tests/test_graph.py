@@ -244,3 +244,56 @@ def test_istft_streaming_matches_offline(rng):
     np.testing.assert_allclose(streamed[lat + 2 : lat + n], offline[2:n], atol=2e-4)
     # and the round-trip reconstructs the input on the interior
     np.testing.assert_allclose(offline[512:6000], x[512:6000], atol=1e-3)
+
+
+def test_phase_vocoder_streaming(rng):
+    """Streaming pvoc: magnitudes match offline exactly after the delay;
+    resynthesis is click-free and pitch-preserving."""
+    from audioflow_tpu.graph import Istft, PhaseVocoderStretch
+
+    sr, f0 = 16000, 523.0
+    t = np.arange(sr * 2) / sr
+    x = (0.5 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+
+    g = chain(
+        Stft(1024, 256, center=False),
+        PhaseVocoderStretch(rate_num=5, rate_den=4, hop=256, n_fft=1024),
+        input_rate=sr,
+    )
+    chunk = g.chunk_granularity() * 4
+    n_chunks = len(x) // chunk
+    streamed = np.asarray(g.scan_stream(jnp.asarray(x[: n_chunks * chunk]), chunk))
+    offline = np.asarray(g.chain(jnp.asarray(x[: n_chunks * chunk])))
+    lat = g.stream_latency(chunk)
+    n = min(len(streamed) - lat, len(offline))
+    # magnitudes are interpolations of the same analysis frames -> exact
+    np.testing.assert_allclose(
+        np.abs(streamed[lat : lat + n]), np.abs(offline[:n]),
+        atol=2e-3 * np.abs(offline[:n]).max(),
+    )
+
+    # full streaming tempo change with resynthesis
+    g2 = chain(
+        Stft(1024, 256, center=False),
+        PhaseVocoderStretch(rate_num=5, rate_den=4, hop=256, n_fft=1024),
+        Istft(1024, 256, center=False),
+        input_rate=sr,
+    )
+    y = np.asarray(g2.scan_stream(jnp.asarray(x[: n_chunks * chunk]), chunk))
+    assert len(y) == pytest.approx(n_chunks * chunk * 4 / 5, abs=chunk)
+    body = y[4096:-1024]
+    spec = np.abs(np.fft.rfft(body * np.hanning(len(body))))
+    got_f = np.argmax(spec) * sr / len(body)
+    assert abs(got_f - f0) < 6.0  # pitch preserved
+    # click-free: adjacent-sample jumps bounded by the tone's natural slope
+    max_jump = np.abs(np.diff(body)).max()
+    assert max_jump < 0.35, max_jump
+
+
+def test_phase_vocoder_stretch_validation():
+    from audioflow_tpu.graph import PhaseVocoderStretch
+
+    with pytest.raises(AudioError):
+        PhaseVocoderStretch(rate_num=0, rate_den=1)
+    node = PhaseVocoderStretch(rate_num=10, rate_den=8)  # reduces to 5/4
+    assert (node.rate_num, node.rate_den) == (5, 4)
