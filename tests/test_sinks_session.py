@@ -236,3 +236,33 @@ def test_session_batched_lead_shape(rng):
         single.push(x[1])
         one = np.concatenate([r.data for r in single.poll_all()], axis=-1)
     np.testing.assert_allclose(streamed[1][: len(one)], one, atol=1e-6)
+
+
+def test_callback_and_jsonl_sinks(tmp_path):
+    from audioflow_tpu.sinks import CallbackSink, JsonlSink
+
+    seen = []
+    cb = CallbackSink(seen.append)
+    cb.write(np.arange(4.0))
+    assert len(seen) == 1 and seen[0].shape == (4,)
+    p = tmp_path / "states.jsonl"
+    with JsonlSink(p) as js:
+        js.write(np.array([0, 1, 2]))
+        js.write(np.array([1, 1]))
+    lines = p.read_text().strip().splitlines()
+    assert json.loads(lines[0]) == [0, 1, 2] and json.loads(lines[1]) == [1, 1]
+
+
+def test_compile_stream_donate(rng):
+    """Donated carries compile and step correctly (HBM-recycling path)."""
+    g = _graph()
+    chunk = g.chunk_granularity()
+    step = g.compile_stream(donate=True)
+    state = g.init_state(chunk)
+    x = rng.standard_normal(chunk * 2).astype(np.float32)
+    state, y1 = step(state, jnp.asarray(x[:chunk]))
+    state, y2 = step(state, jnp.asarray(x[chunk:]))
+    offline = np.asarray(g.chain(jnp.asarray(x)))
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    lat = g.stream_latency(chunk)
+    np.testing.assert_allclose(got[lat + 200 :], offline[200 : len(got) - lat], atol=1e-5)
