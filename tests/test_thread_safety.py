@@ -1,0 +1,91 @@
+"""Host-side thread-safety (SURVEY §5.2): the functional device code cannot
+race, but the mutable host services (config swap, event fan-out, session
+registry, stats) are exercised under real threads — the analog of the
+reference's threaded ring-buffer test (capture.rs:547-561)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from audioflow_tpu.config import ConfigManager
+from audioflow_tpu.obs import StatsFile
+from audioflow_tpu.sinks import ArraySink, EventDispatcher
+
+
+def test_config_manager_concurrent_updates():
+    m = ConfigManager("/nonexistent/never.toml")
+
+    def bump(_):
+        for _ in range(200):
+            m.update(lambda c: setattr(c.audio, "n_mels", c.audio.n_mels + 1))
+
+    threads = [threading.Thread(target=bump, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # every read-modify-write is atomic under the lock: no lost updates
+    assert m.current().audio.n_mels == 128 + 4 * 200
+
+
+def test_event_dispatcher_concurrent_emit_and_subscribe():
+    d = EventDispatcher()
+    seen = []
+    stop = threading.Event()
+
+    def churn():
+        while not stop.is_set():
+            unsub = d.subscribe(lambda e: None)
+            unsub()
+
+    def emit():
+        for _ in range(500):
+            d.emit_audio_level(0.1, 0.2, False)
+
+    d.subscribe(seen.append)
+    churner = threading.Thread(target=churn)
+    emitter = threading.Thread(target=emit)
+    churner.start()
+    emitter.start()
+    emitter.join()
+    stop.set()
+    churner.join()
+    assert len(seen) == 500  # no lost or duplicated deliveries
+
+
+def test_stats_concurrent_runs(tmp_path):
+    stats = StatsFile(tmp_path / "s.json")
+    lock = threading.Lock()
+
+    def record():
+        for _ in range(100):
+            with lock:  # StatsFile is documented single-writer; callers lock
+                stats.record_run(0.5)
+
+    threads = [threading.Thread(target=record) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert stats.data["run_count"] == 300
+    assert stats.data["total_audio_seconds"] == pytest.approx(150.0)
+
+
+def test_sink_writes_from_loader_thread(tmp_path):
+    """BatchLoader's producer thread decodes while the consumer writes sinks —
+    the real pipeline's thread topology."""
+    from audioflow_tpu.graph import Resample, chain
+    from audioflow_tpu.io import BatchLoader, write_wav
+    from audioflow_tpu.runner import run_batches
+
+    t = np.arange(4410) / 44100
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"{i}.wav"
+        write_wav(p, (0.2 * np.sin(2 * np.pi * (220 + i * 20) * t)).astype(np.float32), 44100)
+        paths.append(p)
+    g = chain(Resample(44100, 16000), input_rate=44100)
+    sink = ArraySink()
+    m = run_batches(g, BatchLoader(paths, batch_size=2, stride=4410), sinks=[sink])
+    assert m.files == 8 and sink.result().shape[0] == 8
