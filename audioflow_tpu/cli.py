@@ -461,6 +461,16 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_inspect(args) -> int:
+    cfg = ConfigManager(args.config).load() if args.config else ConfigManager().current()
+    g = _build_graph(args.graph, args.input_rate, cfg)
+    shape = (args.batch, int(args.input_rate * args.seconds))
+    report = g.inspect(shape)
+    report.update({"graph": args.graph, "input_shape": list(shape)})
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from .validate import run_validation
 
@@ -547,6 +557,14 @@ def main(argv: list[str] | None = None) -> int:
 
     val = sub.add_parser("validate", help="numerics validation report")
     val.set_defaults(fn=cmd_validate)
+
+    ins = sub.add_parser("inspect", help="compiled-graph cost analysis (flops/bytes/fusions)")
+    ins.add_argument("--graph", "-g", default="logmel", choices=_GRAPHS)
+    ins.add_argument("--input-rate", type=int, default=44100)
+    ins.add_argument("--seconds", type=float, default=10.0)
+    ins.add_argument("--batch", type=int, default=1)
+    ins.add_argument("--config")
+    ins.set_defaults(fn=cmd_inspect)
 
     args = p.parse_args(argv)
     setup_logging(args.log_level)

@@ -93,6 +93,36 @@ class Graph:
             return jax.jit(lambda x: self.chain(x, taps=tuple(taps)), donate_argnums=donate_args)
         return jax.jit(self.chain, donate_argnums=donate_args)
 
+    def inspect(self, input_shape: tuple, dtype=jnp.float32) -> dict:
+        """Compile-time introspection of the single-program graph.
+
+        Returns XLA's cost analysis (flops, bytes accessed) plus fusion and
+        collective counts from the optimized HLO — the numbers to check when
+        hand-optimizing a node (SURVEY §7.3 #4: "inspect HLO; hand-fuse hot
+        pairs where XLA doesn't").
+        """
+        compiled = jax.jit(self.chain).lower(
+            jax.ShapeDtypeStruct(tuple(input_shape), dtype)
+        ).compile()
+        hlo = compiled.as_text()
+        hlo_l = hlo.lower()
+        cost = {}
+        try:
+            analyses = compiled.cost_analysis()
+            cost = dict(analyses[0] if isinstance(analyses, (list, tuple)) else analyses)
+        except Exception:  # backend may not expose cost analysis
+            pass
+        return {
+            "flops": float(cost.get("flops", -1.0)),
+            "bytes_accessed": float(cost.get("bytes accessed", -1.0)),
+            "fusions": hlo_l.count(" fusion("),
+            "collectives": sum(
+                hlo_l.count(c)
+                for c in ("all-reduce", "all-gather", "reduce-scatter", "collective-permute")
+            ),
+            "hlo_bytes": len(hlo),
+        }
+
     # -------------------------------------------------------------- streaming
     @property
     def streamable(self) -> bool:

@@ -297,3 +297,11 @@ def test_phase_vocoder_stretch_validation():
         PhaseVocoderStretch(rate_num=0, rate_den=1)
     node = PhaseVocoderStretch(rate_num=10, rate_den=8)  # reduces to 5/4
     assert (node.rate_num, node.rate_den) == (5, 4)
+
+
+def test_graph_inspect(rng):
+    g = _logmel_graph()
+    rep = g.inspect((2, 48000))
+    assert rep["fusions"] >= 1
+    assert rep["collectives"] == 0
+    assert rep["hlo_bytes"] > 1000
