@@ -116,8 +116,10 @@ class Graph:
             "flops": float(cost.get("flops", -1.0)),
             "bytes_accessed": float(cost.get("bytes accessed", -1.0)),
             "fusions": hlo_l.count(" fusion("),
+            # async collectives appear as <op>-start/<op>-done pairs; counting
+            # the base name minus the -done forms yields one per actual op
             "collectives": sum(
-                hlo_l.count(c)
+                hlo_l.count(c) - hlo_l.count(c + "-done")
                 for c in ("all-reduce", "all-gather", "reduce-scatter", "collective-permute")
             ),
             "hlo_bytes": len(hlo),

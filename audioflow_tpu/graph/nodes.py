@@ -635,6 +635,10 @@ class Istft(Node):
     domain_in = "frames"
     domain_out = "samples"
 
+    @property
+    def streamable(self):  # center-padding needs the whole signal
+        return not self.center
+
     def apply(self, x):
         return ops.istft(
             x, self.n_fft, self.hop, window=self.window, center=self.center, impl=self.impl
@@ -663,20 +667,12 @@ class Istft(Node):
 
     def step(self, carry, spec):
         from ..ops.framing import overlap_add
+        from ..ops.stft import frames_from_spec
 
         ola_tail, wsum_tail = carry
         w = self._window()
         m = spec.shape[-2]
-        if self.impl == "matmul":
-            from ..ops.stft import _idft_banks
-            from ..ops._mm import mm
-
-            ci, si = _idft_banks(self.n_fft)
-            frames = mm(jnp.real(spec).astype(jnp.float32), jnp.asarray(ci)) + mm(
-                jnp.imag(spec).astype(jnp.float32), jnp.asarray(si)
-            )
-        else:
-            frames = jnp.fft.irfft(spec, n=self.n_fft, axis=-1).astype(jnp.float32)
+        frames = frames_from_spec(spec, self.n_fft, self.impl)
         y = overlap_add(frames * w, self.hop)
         ws = overlap_add(jnp.broadcast_to(w * w, (m, self.n_fft)), self.hop)
         tail = self.n_fft - self.hop
@@ -755,7 +751,14 @@ class PhaseVocoderStretch(Node):
         s_rel = (u - n0) * p / q + h
         lo = np_.floor(s_rel).astype(np_.int64)
         frac = (s_rel - lo).astype(np_.float32)
-        assert lo.min() >= 0 and lo.max() + 1 <= m + h - 1, (lo.min(), lo.max(), m, h)
+        if lo.min() < 0 or lo.max() + 1 > m + h - 1:
+            # gather would silently clamp out-of-range indices into wrong
+            # (time-smeared) audio — fail loudly instead
+            raise AudioError(
+                f"phase-vocoder plan out of bounds: lo in [{lo.min()}, {lo.max()}], "
+                f"buffer m+h = {m + h}",
+                code=ErrorCode.SHAPE_MISMATCH,
+            )
         return mo, lo, lo + 1, frac
 
     def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
@@ -775,13 +778,15 @@ class PhaseVocoderStretch(Node):
         s_lo, s_hi = buf[..., lo, :], buf[..., hi, :]
         fr = jnp.asarray(frac)[..., None]
         mag = (1.0 - fr) * jnp.abs(s_lo) + fr * jnp.abs(s_hi)
+        # same advance/wrap math as the offline vocoder (shared helpers keep
+        # the documented magnitude/phase parity between apply() and step())
+        from ..ops.phase_vocoder import _wrap_phase
+
         n_bins = spec.shape[-1]
         phi_adv = jnp.asarray(
             (2.0 * np_.pi * self.hop / self.n_fft) * np_.arange(n_bins, dtype=np_.float32)
         )
-        two_pi = 2.0 * np_.pi
-        d = jnp.angle(s_hi) - jnp.angle(s_lo) - phi_adv
-        d = d - two_pi * jnp.round(d / two_pi)
+        d = _wrap_phase(jnp.angle(s_hi) - jnp.angle(s_lo) - phi_adv)
         increments = phi_adv + d  # [.., mo, bins]
         phase = phase_acc[..., None, :] + jnp.cumsum(increments, axis=-2)
         out = mag * jnp.exp(1j * phase)

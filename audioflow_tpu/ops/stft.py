@@ -159,6 +159,20 @@ def _idft_banks(n_fft: int):
     return _BANK_CACHE[key]
 
 
+def frames_from_spec(spec: jnp.ndarray, n_fft: int, impl: str = "fft", dtype=jnp.float32) -> jnp.ndarray:
+    """Inverse real DFT of spectral frames (shared by istft and the streaming
+    Istft node so the two paths can never diverge numerically)."""
+    if impl == "matmul":
+        ci, si = _idft_banks(n_fft)
+        frames = mm(jnp.real(spec).astype(dtype), jnp.asarray(ci)) + mm(
+            jnp.imag(spec).astype(dtype), jnp.asarray(si)
+        )
+        return frames.astype(dtype)
+    if impl == "fft":
+        return jnp.fft.irfft(spec, n=n_fft, axis=-1).astype(dtype)
+    raise ValueError(f"unknown istft impl {impl!r}; known: fft, matmul")
+
+
 def istft(
     spec: jnp.ndarray,
     n_fft: int = 1024,
@@ -183,16 +197,7 @@ def istft(
         w = np.pad(w, (pad // 2, pad - pad // 2))
     w = jnp.asarray(w, dtype=dtype)
     n = spec.shape[-2]
-    if impl == "matmul":
-        ci, si = _idft_banks(n_fft)
-        frames = mm(jnp.real(spec).astype(dtype), jnp.asarray(ci)) + mm(
-            jnp.imag(spec).astype(dtype), jnp.asarray(si)
-        )
-        frames = frames.astype(dtype)
-    elif impl == "fft":
-        frames = jnp.fft.irfft(spec, n=n_fft, axis=-1).astype(dtype)
-    else:
-        raise ValueError(f"unknown istft impl {impl!r}; known: fft, matmul")
+    frames = frames_from_spec(spec, n_fft, impl, dtype)
     y = overlap_add(frames * w, hop)
     wsq = overlap_add(jnp.broadcast_to(w * w, frames.shape), hop)
     y = y / jnp.maximum(wsq, 1e-11)

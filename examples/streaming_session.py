@@ -35,10 +35,12 @@ def main(wav_path: str, out_jsonl: str = "wire.jsonl") -> None:
     with session:
         # push in irregular mic-callback-sized bites; the session accumulates
         step = rate // 50
-        for i in range(0, len(pcm) // 2, step):
+        starts = list(range(0, len(pcm), step))
+        half = len(starts) // 2
+        for i in starts[:half]:
             session.push(pcm[i : i + step])
         session.snapshot("/tmp/session.ckpt")  # resumable mid-stream
-        for i in range(len(pcm) // 2 // step * step, len(pcm), step):
+        for i in starts[half:]:
             session.push(pcm[i : i + step])
         final = session.flush()
         print("final chunk index:", final.index if final else "(none)")

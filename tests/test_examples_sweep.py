@@ -37,16 +37,19 @@ def test_example_scripts_run(tmp_path):
     t = np.arange(44100) / 44100
     for i in range(3):
         write_wav(tmp_path / f"x{i}.wav", (0.3 * np.sin(2 * np.pi * (220 + i * 110) * t)).astype(np.float32), 44100)
-    env = {"PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root"}
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parents[1])
+    env = {"PYTHONPATH": repo, "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root"}
     r1 = subprocess.run(
         [sys.executable, "examples/batch_features.py", str(tmp_path), "*.wav", str(tmp_path / "f.npy")],
-        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+        capture_output=True, text=True, env=env, cwd=repo, timeout=300,
     )
     assert r1.returncode == 0, r1.stderr[-500:]
     assert np.load(tmp_path / "f.npy").shape[0] == 3
     r2 = subprocess.run(
         [sys.executable, "examples/streaming_session.py", str(tmp_path / "x0.wav"), str(tmp_path / "w.jsonl")],
-        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+        capture_output=True, text=True, env=env, cwd=repo, timeout=300,
     )
     assert r2.returncode == 0, r2.stderr[-500:]
     assert (tmp_path / "w.jsonl").read_text().count("input_audio_chunk") > 0
