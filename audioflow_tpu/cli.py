@@ -476,7 +476,9 @@ def cmd_validate(args) -> int:
 
     report = run_validation()
     print(json.dumps(report, indent=2))
-    return 0 if report["max_abs_err"] < 1e-4 else 1
+    # report["pass"] also requires vad_state_mismatches == 0 and
+    # quantize_i16 == 0 — gate on the full verdict, not just max_abs_err
+    return 0 if report["pass"] else 1
 
 
 def main(argv: list[str] | None = None) -> int:

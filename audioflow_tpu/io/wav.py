@@ -83,6 +83,13 @@ def probe(buf: bytes, truncated: bool = False) -> WavInfo:
         raise IOError_(f"unsupported WAV format tag {fmt}", code=ErrorCode.UNSUPPORTED_FORMAT)
     if bits not in (8, 16, 24, 32, 64):
         raise IOError_(f"unsupported bit depth {bits}", code=ErrorCode.UNSUPPORTED_FORMAT)
+    if fmt == _FMT_FLOAT and bits not in (32, 64):
+        # IEEE-float WAV only exists at 32/64 bits; accepting e.g. FLOAT/16
+        # here would make _decode_payload misread the payload later (and the
+        # native decoder must reject the same bytes — contract parity).
+        raise IOError_(
+            f"float WAV requires 32/64 bits, got {bits}", code=ErrorCode.UNSUPPORTED_FORMAT
+        )
     frame_bytes = channels * (bits // 8)
     n_frames = data_size // frame_bytes if frame_bytes else 0
     return WavInfo(rate, channels, bits, fmt, n_frames, data_off, data_size)
@@ -130,7 +137,14 @@ def read_wav(src: str | os.PathLike | bytes) -> tuple[np.ndarray, int]:
             raise IOError_(f"file not found: {src}", code=ErrorCode.FILE_NOT_FOUND) from None
     info = probe(buf)
     payload = buf[info.data_offset : info.data_offset + info.data_size]
-    return _decode_payload(payload, info), info.sample_rate
+    try:
+        return _decode_payload(payload, info), info.sample_rate
+    except IOError_:
+        raise
+    except (ValueError, struct.error) as err:
+        # any residual decode error stays typed so batch loaders keep
+        # per-lane fault isolation (SURVEY §5.3)
+        raise IOError_(f"decode failed: {err}", code=ErrorCode.DECODE_FAILED) from None
 
 
 def write_wav(path: str | os.PathLike, data: np.ndarray, sample_rate: int, bits: int = 16) -> None:

@@ -104,6 +104,11 @@ class WebSocketClient:
         from ..errors import RetryPolicy
 
         base = self.config.reconnect_delay_ms / 1000.0
+        if self.config.max_reconnect_attempts < 1:
+            # a non-positive attempt budget degenerates to a single plain
+            # connect rather than an AssertionError from an empty loop
+            self.connect()
+            return
         policy = RetryPolicy(
             max_attempts=self.config.max_reconnect_attempts,
             base_delay_s=base,

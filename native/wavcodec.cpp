@@ -60,6 +60,10 @@ int probe(const uint8_t* buf, int64_t len, WavInfo* out) {
   if (out->bits != 8 && out->bits != 16 && out->bits != 24 && out->bits != 32 &&
       out->bits != 64)
     return -2;
+  // IEEE-float WAV only exists at 32/64 bits; anything else would fall into
+  // the integer-PCM decode branch and silently misread the payload (the
+  // Python oracle rejects the same bytes — keep the decoders bit-identical).
+  if (out->fmt == FMT_FLOAT && out->bits != 32 && out->bits != 64) return -2;
   if (out->channels <= 0) return -1;
   int64_t frame_bytes = (int64_t)out->channels * (out->bits / 8);
   out->n_frames = frame_bytes ? out->data_size / frame_bytes : 0;

@@ -124,6 +124,39 @@ def test_probe_truncated_inside_fmt_raises_typed():
     assert not batch.valid[0]
 
 
+def _float16_wav(n=64):
+    """fmt=FLOAT with bits=16 — malformed: IEEE-float WAV is 32/64-bit only."""
+    import struct as _s
+
+    payload = b"\x00\x01" * n
+    hdr = b"RIFF" + _s.pack("<I", 36 + len(payload)) + b"WAVE"
+    hdr += b"fmt " + _s.pack("<IHHIIHH", 16, 3, 1, 16000, 16000 * 2, 2, 16)
+    hdr += b"data" + _s.pack("<I", len(payload))
+    return hdr + payload
+
+
+def test_float16_wav_rejected_typed():
+    """Regression (ADVICE r1): fmt=FLOAT/bits=16 must raise IOError_, not a
+    raw ValueError from np.frombuffer that escapes the lane-isolation guard."""
+    buf = _float16_wav()
+    with pytest.raises(IOError_):
+        probe(buf)
+    with pytest.raises(IOError_):
+        read_wav(buf)
+    # through decode_batch: lane is masked, batch survives
+    batch = decode_batch([buf], use_native=False)
+    assert not batch.valid[0]
+
+
+@pytest.mark.skipif(not native.available(), reason="native decoder not built")
+def test_float16_wav_native_agrees():
+    """The C++ probe must reject the same bytes the numpy oracle rejects —
+    previously it silently decoded them via the integer-PCM branch."""
+    out, frames, rates = native.decode_batch_mono([_float16_wav()], stride=128)
+    assert frames[0] == -1 and rates[0] == 0
+    assert out.sum() == 0
+
+
 def test_batch_loader_propagates_producer_errors(tmp_path):
     """Regression: a crashing decode must raise, not silently end the run."""
 

@@ -198,6 +198,19 @@ def test_retry_gives_up():
     assert c.state is ConnectionState.FAILED
 
 
+def test_retry_zero_attempts_falls_back_to_single_connect():
+    """Regression (ADVICE r1): max_reconnect_attempts=0 used to raise a bare
+    AssertionError from an empty loop; now it degenerates to one connect()."""
+    c = WebSocketClient(
+        WebSocketConfig(
+            url="ws://127.0.0.1:9/", connect_timeout_s=0.3,
+            reconnect_delay_ms=10, max_reconnect_attempts=0,
+        )
+    )
+    with pytest.raises(IOError_):
+        c.connect_with_retry()
+
+
 def test_send_without_connect_raises():
     c = WebSocketClient()
     with pytest.raises(IOError_):
