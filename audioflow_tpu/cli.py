@@ -409,7 +409,17 @@ def cmd_vad(args) -> int:
     data, rate = read_wav(args.input)
     if data.ndim == 2:
         data = data.mean(axis=1)
-    g = vad_graph(rate, threshold_db=args.threshold_db)
+    # --level (named preset) wins over --threshold-db; with neither given,
+    # the config's audio.vad_level preset applies (set_vad_level parity)
+    level = args.level
+    if level is None and args.threshold_db is None:
+        cfg = ConfigManager(args.config).load() if args.config else ConfigManager().current()
+        level = cfg.audio.vad_level
+    g = vad_graph(
+        rate,
+        threshold_db=args.threshold_db if args.threshold_db is not None else -50.0,
+        level=level or "",
+    )
     import jax.numpy as jnp
 
     states = np.asarray(g.compile()(jnp.asarray(data, jnp.float32)))
@@ -546,7 +556,15 @@ def main(argv: list[str] | None = None) -> int:
 
     v = sub.add_parser("vad", help="voice-activity segments of a WAV")
     v.add_argument("--input", "-i", required=True)
-    v.add_argument("--threshold-db", type=float, default=-50.0)
+    v.add_argument("--threshold-db", type=float, default=None)
+    v.add_argument(
+        "--level",
+        choices=["aggressive", "balanced", "relaxed"],
+        default=None,
+        help="named sensitivity preset (overrides --threshold-db; "
+        "default: config audio.vad_level)",
+    )
+    v.add_argument("--config")
     v.set_defaults(fn=cmd_vad)
 
     b = sub.add_parser("bench", help="throughput benchmarks ('all' runs the 5 configs)")

@@ -44,6 +44,9 @@ class AudioConfig:
     hop: int = 256
     n_mels: int = 128
     window: str = "hann"
+    # named VAD sensitivity preset (get/set_vad_level parity,
+    # commands.rs:482-511); see ops.vad.VAD_LEVELS for the thresholds
+    vad_level: str = "balanced"
 
 
 @dataclass

@@ -432,18 +432,43 @@ class Mfcc(Node):
         return ops.mfcc(x, self.n_mfcc)
 
 
+def _resolve_vad_level(node) -> None:
+    """Resolve a named VAD sensitivity preset into ``threshold_db`` (frozen
+    dataclass, so via object.__setattr__). Unknown names fail loudly."""
+    if not node.level:
+        return
+    levels = _vad.VAD_LEVELS
+    if node.level not in levels:
+        raise AudioError(
+            f"unknown VAD level {node.level!r}; known: {sorted(levels)}",
+            code=ErrorCode.CONFIG_VALIDATION_ERROR,
+        )
+    object.__setattr__(node, "threshold_db", levels[node.level].threshold_db)
+
+
 @register_node
 @dataclass(frozen=True)
 class Vad(Node):
-    """Energy VAD over fixed frames; emits int32 states (0/1/2) per frame."""
+    """Energy VAD over fixed frames; emits int32 states (0/1/2) per frame.
+
+    ``level`` is a named sensitivity preset ("aggressive"/"balanced"/
+    "relaxed", the reference's VadLevel enum, vad.rs:8-17 + the
+    get/set_vad_level commands, commands.rs:482-511) that resolves to a
+    threshold via :data:`audioflow_tpu.ops.vad.VAD_LEVELS`, overriding
+    ``threshold_db``. Empty string = use ``threshold_db`` directly.
+    """
 
     frame_len: int = 320  # 20 ms @ 16 kHz, the reference capture cadence
     threshold_db: float = -50.0
     smoothing_factor: float = 0.3
     silence_timeout_frames: int = 15
     min_speech_frames: int = 3
+    level: str = ""
 
     domain_out = "frames"
+
+    def __post_init__(self):
+        _resolve_vad_level(self)
 
     def _cfg(self):
         return _vad.VadConfig(
@@ -570,6 +595,10 @@ class VadGate(Node):
     silence_timeout_frames: int = 15
     min_speech_frames: int = 3
     keep_ending: bool = True
+    level: str = ""  # named preset, see Vad.level
+
+    def __post_init__(self):
+        _resolve_vad_level(self)
 
     def _cfg(self):
         return _vad.VadConfig(
@@ -765,30 +794,33 @@ class PhaseVocoderStretch(Node):
         n_bins = self.n_fft // 2 + 1
         return (
             jnp.zeros((*lead_shape, self._history, n_bins), jnp.complex64),
-            jnp.zeros((*lead_shape, n_bins), jnp.float32),  # accumulated phase
+            jnp.ones((*lead_shape, n_bins), jnp.complex64),  # accumulated phase phasor
         )
 
     def step(self, carry, spec):
-        import numpy as np_
+        # same phasor math as the offline vocoder (shared helpers keep the
+        # documented magnitude/phase parity between apply() and step()):
+        # exp(i*increment) == s_hi*conj(s_lo)/(|s_hi||s_lo|), accumulation is
+        # a cumulative complex product — zero trig on the hot path
+        from ..ops.phase_vocoder import cumulative_phasor, increment_phasors
 
-        prev, phase_acc = carry
+        prev, acc = carry
         m = spec.shape[-2]
         mo, lo, hi, frac = self._plan(m)
         buf = jnp.concatenate([prev, spec], axis=-2)  # [.., h+m, bins]
+        mag_in = jnp.abs(buf)
         s_lo, s_hi = buf[..., lo, :], buf[..., hi, :]
+        m_lo, m_hi = mag_in[..., lo, :], mag_in[..., hi, :]
         fr = jnp.asarray(frac)[..., None]
-        mag = (1.0 - fr) * jnp.abs(s_lo) + fr * jnp.abs(s_hi)
-        # same advance/wrap math as the offline vocoder (shared helpers keep
-        # the documented magnitude/phase parity between apply() and step())
-        from ..ops.phase_vocoder import _wrap_phase
-
-        n_bins = spec.shape[-1]
-        phi_adv = jnp.asarray(
-            (2.0 * np_.pi * self.hop / self.n_fft) * np_.arange(n_bins, dtype=np_.float32)
-        )
-        d = _wrap_phase(jnp.angle(s_hi) - jnp.angle(s_lo) - phi_adv)
-        increments = phi_adv + d  # [.., mo, bins]
-        phase = phase_acc[..., None, :] + jnp.cumsum(increments, axis=-2)
-        out = mag * jnp.exp(1j * phase)
-        new_carry = (buf[..., -self._history :, :], phase[..., -1, :])
+        mag = (1.0 - fr) * m_lo + fr * m_hi
+        u = increment_phasors(s_lo, s_hi, m_lo, m_hi)  # [.., mo, bins]
+        z = acc[..., None, :] * cumulative_phasor(u, axis=-2)
+        out = mag * z
+        # renormalize the carried phasor so |acc| cannot drift over
+        # arbitrarily long streams (each chunk multiplies ~mo unit values)
+        last = z[..., -1, :]
+        last_mag = jnp.abs(last)
+        ok = last_mag > 0
+        last = jnp.where(ok, last / jnp.where(ok, last_mag, 1.0), 1.0 + 0.0j)
+        new_carry = (buf[..., -self._history :, :], last)
         return new_carry, out

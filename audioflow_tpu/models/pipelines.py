@@ -97,11 +97,16 @@ def vad_graph(
     frame_ms: int = 20,
     threshold_db: float = -50.0,
     smoothing_factor: float = 0.3,
+    level: str = "",
 ) -> Graph:
-    """Reference dictation front-path feature: frame-wise VAD states."""
+    """Reference dictation front-path feature: frame-wise VAD states.
+
+    ``level`` selects a named sensitivity preset (vad.rs:8-17 /
+    commands.rs:482-511 parity), overriding ``threshold_db``.
+    """
     frame_len = sample_rate * frame_ms // 1000
     return chain(
-        Vad(frame_len, threshold_db, smoothing_factor),
+        Vad(frame_len, threshold_db, smoothing_factor, level=level),
         input_rate=sample_rate,
         name="vad",
     )

@@ -1,16 +1,23 @@
 """Phase-vocoder time-stretch and pitch-shift (north-star config 4).
 
-TPU notes: the classic serial phase-accumulation loop is a prefix sum — the
-per-output-frame phase increments (expected advance + wrapped deviation) are
-computed in parallel and combined with one ``cumsum``, so the whole vocoder is
-gather + elementwise + cumsum + ISTFT, all XLA-fusable with static shapes
-(the stretch ``rate`` is a trace-time constant).
+TPU notes: the per-output-frame phase increments (expected advance + wrapped
+deviation) are computed in parallel and combined with one ``cumsum``, so the
+XLA path is gather + elementwise + cumsum + ISTFT with static shapes (the
+stretch ``rate`` is a trace-time constant). An equivalent trig-free *phasor*
+formulation exists — ``exp(i*increment) == s_hi*conj(s_lo)/(|s_hi||s_lo|)``
+with a cumulative complex product (see :func:`increment_phasors`) — but
+measured SLOWER under XLA on TPU v5e (47.6 vs 23.5 ms at batch 256: the extra
+complex intermediates cost more HBM passes than atan2/sincos cost VPU
+cycles; both paths are bandwidth-bound). The phasor form is what the fused
+Pallas kernel (:mod:`audioflow_tpu.ops.pallas.timestretch`) uses, where
+everything stays in VMEM and transcendental-free math wins.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .resample import resample
@@ -21,6 +28,24 @@ def _wrap_phase(p: jnp.ndarray) -> jnp.ndarray:
     """Wrap to [-pi, pi)."""
     two_pi = 2.0 * np.pi
     return p - two_pi * jnp.round(p / two_pi)
+
+
+def increment_phasors(
+    s_lo: jnp.ndarray, s_hi: jnp.ndarray, m_lo: jnp.ndarray, m_hi: jnp.ndarray
+) -> jnp.ndarray:
+    """Unit phasor of the per-step phase increment between two analysis
+    frames: ``exp(i*(angle(s_hi)-angle(s_lo)))`` without any trig (the
+    expected advance and the wrap both cancel inside exp). Zero-magnitude
+    frames contribute a unit phasor (the angle(0)==0 convention). Used by
+    the fused Pallas kernel; exposed for tests/oracles."""
+    denom = m_hi * m_lo
+    ok = denom > 0
+    return jnp.where(ok, s_hi * jnp.conj(s_lo) / jnp.where(ok, denom, 1.0), 1.0 + 0.0j)
+
+
+def cumulative_phasor(u: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Inclusive cumulative product of unit phasors along ``axis``."""
+    return jax.lax.associative_scan(jnp.multiply, u, axis=axis % u.ndim)
 
 
 def phase_vocoder(spec: jnp.ndarray, rate: float, hop: int, n_fft: int) -> jnp.ndarray:
@@ -61,18 +86,23 @@ def time_stretch(
     hop: int = 256,
     window: str = "hann",
     impl: str = "matmul",
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Stretch audio duration by 1/rate at constant pitch (ISTFT round-trip).
 
     ``impl="matmul"`` runs the forward and inverse DFTs on the MXU (faster on
-    TPU and sharding-clean); ``impl="fft"`` uses XLA's FFT.
+    TPU and sharding-clean); ``impl="fft"`` uses XLA's FFT. ``precision``
+    overrides the matmul precision for the DFT banks only (None = framework
+    default, see ops/_mm.py).
     """
     if rate <= 0:
         raise ValueError("rate must be positive")
-    spec = stft(x, n_fft=n_fft, hop=hop, window=window, impl=impl)
+    spec = stft(x, n_fft=n_fft, hop=hop, window=window, impl=impl, precision=precision)
     out = phase_vocoder(spec, rate, hop, n_fft)
     length = int(round(x.shape[-1] / rate))
-    return istft(out, n_fft=n_fft, hop=hop, window=window, length=length, impl=impl)
+    return istft(
+        out, n_fft=n_fft, hop=hop, window=window, length=length, impl=impl, precision=precision
+    )
 
 
 def pitch_shift(

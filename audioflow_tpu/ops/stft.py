@@ -33,6 +33,7 @@ def stft(
     pad_mode: str = "reflect",
     dtype=jnp.float32,
     impl: str = "fft",
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Short-time Fourier transform.
 
@@ -41,6 +42,8 @@ def stft(
       impl: "fft" (XLA FFT) or "matmul" (two MXU dots against windowed
         cos/sin banks — faster on TPU at moderate n_fft and, unlike the FFT
         op, partitions cleanly under batch sharding).
+      precision: matmul precision override for impl="matmul" (None = the
+        framework default in ops/_mm.py).
     Returns:
       complex64 spectrogram ``[..., n_frames, n_fft // 2 + 1]``
       (time-major: frame axis before frequency axis, the natural layout for
@@ -55,8 +58,8 @@ def stft(
     frames = frame(x.astype(dtype), n_fft, hop)
     if impl == "matmul":
         cosb, sinb = _dft_banks(n_fft, window, win_length)
-        re = mm(frames, jnp.asarray(cosb, dtype))
-        im = mm(frames, jnp.asarray(sinb, dtype))
+        re = mm(frames, jnp.asarray(cosb, dtype), precision)
+        im = mm(frames, jnp.asarray(sinb, dtype), precision)
         return jax.lax.complex(re, im)
     if impl != "fft":
         raise ValueError(f"unknown stft impl {impl!r}; known: fft, matmul")
@@ -116,6 +119,7 @@ def spectrogram(
     power: bool = True,
     impl: str = "matmul",
     dtype=jnp.float32,
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Power (or magnitude) spectrogram ``[..., frames, n_fft//2+1]``.
 
@@ -135,8 +139,8 @@ def spectrogram(
         x = jnp.pad(x, widths, mode=pad_mode)
     frames = frame(x.astype(dtype), n_fft, hop)
     cosb, sinb = _dft_banks(n_fft, window, win_length)
-    re = mm(frames, jnp.asarray(cosb, dtype))
-    im = mm(frames, jnp.asarray(sinb, dtype))
+    re = mm(frames, jnp.asarray(cosb, dtype), precision)
+    im = mm(frames, jnp.asarray(sinb, dtype), precision)
     p = re * re + im * im
     return p if power else jnp.sqrt(p)
 
@@ -159,13 +163,16 @@ def _idft_banks(n_fft: int):
     return _BANK_CACHE[key]
 
 
-def frames_from_spec(spec: jnp.ndarray, n_fft: int, impl: str = "fft", dtype=jnp.float32) -> jnp.ndarray:
+def frames_from_spec(
+    spec: jnp.ndarray, n_fft: int, impl: str = "fft", dtype=jnp.float32,
+    precision: str | None = None,
+) -> jnp.ndarray:
     """Inverse real DFT of spectral frames (shared by istft and the streaming
     Istft node so the two paths can never diverge numerically)."""
     if impl == "matmul":
         ci, si = _idft_banks(n_fft)
-        frames = mm(jnp.real(spec).astype(dtype), jnp.asarray(ci)) + mm(
-            jnp.imag(spec).astype(dtype), jnp.asarray(si)
+        frames = mm(jnp.real(spec).astype(dtype), jnp.asarray(ci), precision) + mm(
+            jnp.imag(spec).astype(dtype), jnp.asarray(si), precision
         )
         return frames.astype(dtype)
     if impl == "fft":
@@ -183,6 +190,7 @@ def istft(
     length: int | None = None,
     dtype=jnp.float32,
     impl: str = "fft",
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Inverse STFT with synthesis-window (WOLA) normalization.
 
@@ -197,9 +205,11 @@ def istft(
         w = np.pad(w, (pad // 2, pad - pad // 2))
     w = jnp.asarray(w, dtype=dtype)
     n = spec.shape[-2]
-    frames = frames_from_spec(spec, n_fft, impl, dtype)
+    frames = frames_from_spec(spec, n_fft, impl, dtype, precision)
     y = overlap_add(frames * w, hop)
-    wsq = overlap_add(jnp.broadcast_to(w * w, frames.shape), hop)
+    # the window-square normalizer is identical for every batch lane: compute
+    # it once on a single [n, n_fft] row instead of a full-batch overlap-add
+    wsq = overlap_add(jnp.broadcast_to(w * w, (n, n_fft)), hop)
     y = y / jnp.maximum(wsq, 1e-11)
     if not center:
         return y if length is None else y[..., :length]

@@ -124,3 +124,29 @@ def test_streaming_carry_equivalence():
 def test_energy_db_neg_inf_at_init():
     carry = vad_init()
     assert np.isneginf(float(vad_energy_db(carry)))
+
+
+def test_vad_level_presets_plumbed():
+    """Named levels resolve to VAD_LEVELS thresholds on nodes, graphs, specs,
+    and config (vad.rs:8-17 / commands.rs:482-511 parity)."""
+    from audioflow_tpu.config import UserConfig, graph_from_spec, graph_to_spec
+    from audioflow_tpu.errors import AudioError
+    from audioflow_tpu.graph import Vad, VadGate
+    from audioflow_tpu.models import vad_graph
+    from audioflow_tpu.ops.vad import VAD_LEVELS
+
+    for name, cfg in VAD_LEVELS.items():
+        assert Vad(level=name).threshold_db == cfg.threshold_db
+        assert VadGate(level=name).threshold_db == cfg.threshold_db
+        g = vad_graph(16000, level=name)
+        assert g.nodes[0].threshold_db == cfg.threshold_db
+        # GraphSpec round-trip preserves the resolved threshold
+        g2 = graph_from_spec(graph_to_spec(g))
+        assert g2.nodes[0].threshold_db == cfg.threshold_db
+
+    with pytest.raises(AudioError):
+        Vad(level="extreme")
+    # explicit threshold wins when no level is set
+    assert Vad(threshold_db=-33.0).threshold_db == -33.0
+    # config carries a named default
+    assert UserConfig().audio.vad_level == "balanced"
