@@ -85,18 +85,41 @@ def time_stretch(
     n_fft: int = 1024,
     hop: int = 256,
     window: str = "hann",
-    impl: str = "matmul",
+    impl: str = "auto",
     precision: str | None = None,
 ) -> jnp.ndarray:
     """Stretch audio duration by 1/rate at constant pitch (ISTFT round-trip).
 
-    ``impl="matmul"`` runs the forward and inverse DFTs on the MXU (faster on
-    TPU and sharding-clean); ``impl="fft"`` uses XLA's FFT. ``precision``
-    overrides the matmul precision for the DFT banks only (None = framework
-    default, see ops/_mm.py).
+    ``impl``:
+      * ``"auto"`` (default): the fused Pallas kernel on TPU when the config
+        qualifies (rational rate, hop | n_fft, 1D/2D input) — one VMEM-resident
+        kernel instead of five HBM-bound XLA stages (BENCHMARKS.md) — else
+        the ``"matmul"`` path;
+      * ``"pallas"``: force the fused kernel (raises if unsupported);
+      * ``"matmul"``: MXU DFT banks (sharding-clean);
+      * ``"fft"``: XLA's FFT.
+    ``precision`` overrides the matmul precision of the DFT banks only
+    (None = framework default, see ops/_mm.py).
     """
     if rate <= 0:
         raise ValueError("rate must be positive")
+    if impl == "auto":
+        from .pallas.timestretch import supported
+
+        use_pallas = (
+            x.ndim <= 2
+            and jax.default_backend() == "tpu"
+            and supported(rate, n_fft, hop)
+        )
+        impl = "pallas" if use_pallas else "matmul"
+    if impl == "pallas":
+        from ._mm import get_default_matmul_precision
+        from .pallas.timestretch import time_stretch_pallas
+
+        return time_stretch_pallas(
+            x, rate, n_fft, hop, window,
+            precision=precision or get_default_matmul_precision(),
+        )
     spec = stft(x, n_fft=n_fft, hop=hop, window=window, impl=impl, precision=precision)
     out = phase_vocoder(spec, rate, hop, n_fft)
     length = int(round(x.shape[-1] / rate))

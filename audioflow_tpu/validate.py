@@ -122,11 +122,39 @@ def run_validation(seed: int = 0) -> dict:
         mism += int(st != int(states[i]))
     report["vad_state_mismatches"] = mism
 
-    float_keys = [k for k in report if k not in ("vad_state_mismatches", "quantize_i16")]
+    # fused Pallas time-stretch vs the XLA vocoder path — the real (non-
+    # interpret) Mosaic compile gate when running on TPU. Budget is looser
+    # than the kernel oracles: both paths accumulate ~500 frames of phase in
+    # different association orders, so they agree to ~1e-3 relative, not 1e-7
+    # (each is a valid resynthesis; round-trip fidelity is tested separately).
+    from .ops.pallas.timestretch import supported as _ts_supported
+    from .ops.pallas.timestretch import time_stretch_pallas as _ts_pallas
+
+    if _ts_supported(1.25):
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"  # real Mosaic compile on TPU
+        xs = (0.4 * np.sin(2 * np.pi * 440.0 * np.arange(16000) / 16000.0)).astype(
+            np.float32
+        ) + 0.05 * rng.standard_normal(16000).astype(np.float32)
+        ref = np.asarray(
+            jax.jit(lambda z: ops.time_stretch(z, 1.25, impl="matmul"))(jnp.asarray(xs))
+        )
+        got = np.asarray(_ts_pallas(jnp.asarray(xs), 1.25, interpret=not on_tpu))
+        n = ref.shape[-1] - 1024  # tail convention differs (documented)
+        rel = float(np.abs(ref[:n] - got[:n]).max() / max(np.abs(ref).max(), 1e-9))
+        report["pvoc_pallas_vs_xla_rel"] = rel
+
+    float_keys = [
+        k
+        for k in report
+        if k not in ("vad_state_mismatches", "quantize_i16", "pvoc_pallas_vs_xla_rel")
+    ]
     report["max_abs_err"] = max(report[k] for k in float_keys)
     report["pass"] = bool(
         report["max_abs_err"] < 1e-4
         and report["vad_state_mismatches"] == 0
         and report["quantize_i16"] == 0
+        and report.get("pvoc_pallas_vs_xla_rel", 0.0) < 6e-3
     )
     return report
