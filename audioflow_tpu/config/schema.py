@@ -119,8 +119,15 @@ class GraphSpec:
 
 
 def _encode_field(v):
+    from ..graph.nodes import Node
+
     if isinstance(v, Biquad):
         return {"__biquad__": dataclasses.asdict(v)}
+    if isinstance(v, Node):  # nested nodes (Mix branches)
+        d = {"type": type(v).__name__}
+        for f in dataclasses.fields(v):
+            d[f.name] = _encode_field(getattr(v, f.name))
+        return {"__node__": d}
     if isinstance(v, tuple):
         return [_encode_field(x) for x in v]
     return v
@@ -129,6 +136,15 @@ def _encode_field(v):
 def _decode_field(v):
     if isinstance(v, dict) and "__biquad__" in v:
         return Biquad(**v["__biquad__"])
+    if isinstance(v, dict) and "__node__" in v:
+        nd = dict(v["__node__"])
+        tname = nd.pop("type", None)
+        registry = node_registry()
+        if tname not in registry:
+            raise ConfigError(
+                f"unknown nested node type {tname!r}", code=ErrorCode.CONFIG_VALIDATION_ERROR
+            )
+        return registry[tname](**{k: _decode_field(x) for k, x in nd.items()})
     if isinstance(v, list):
         return tuple(_decode_field(x) for x in v)
     return v

@@ -200,6 +200,33 @@ class Graph:
             out.append(lat + pad)
         return out
 
+    def _warmups(self, chunk_in: int) -> list[int]:
+        """Cumulative upstream warmup per node, in that node's INPUT units.
+
+        The first ``warmups[i]`` units node i receives are upstream *preroll*
+        — outputs a latency-bearing ancestor computed from zero history that
+        correspond to nothing in the offline run. A positional node (STFT
+        framing) just emits discarded preroll for them, but a recursive or
+        accumulating node (biquad, limiter, VAD's EMA, ISTFT overlap-add)
+        would fold them into its carry and drag a decaying transient into the
+        valid region — breaking the exact streamed == shifted-offline
+        invariant. ``stream_step`` therefore zeros the warmup region, which
+        reproduces exactly what each node sees offline (zero prehistory):
+        zero input is a fixpoint of every carried state.
+        """
+        from fractions import Fraction
+
+        lens = self.chunk_lens(chunk_in)
+        delays = self._delays(chunk_in)
+        warm = []
+        for i in range(len(self.nodes)):
+            u = Fraction(0)
+            for j in range(i):
+                u += Fraction(delays[j] * lens[i], lens[j + 1])
+            assert u.denominator == 1, (i, u)
+            warm.append(int(u))
+        return warm
+
     def stream_latency(self, chunk_in: int) -> int:
         """Total streaming latency in final-output units (exact integer)."""
         lens = self.chunk_lens(chunk_in)
@@ -214,7 +241,7 @@ class Graph:
         return -2 if node.domain_out == "frames" else -1
 
     def init_state(self, chunk_in: int, lead_shape: tuple = (), dtype=jnp.float32):
-        """Initial stream state: (carries, pendings) pytree.
+        """Initial stream state: (carries, pendings, chunk_counter) pytree.
 
         ``pendings[i]`` is the zero-filled delay-alignment buffer for node i
         (None when no alignment is needed); shapes come from an abstract
@@ -251,14 +278,31 @@ class Graph:
             shape = list(spec.shape)
             shape[axis] = pad
             pendings.append(jnp.zeros(shape, spec.dtype))
-        return carries, pendings
+        return carries, pendings, jnp.zeros((), jnp.int32)
 
     def stream_step(self, state, chunk: jnp.ndarray):
-        """One fixed-shape streaming step through every node (traceable)."""
-        carries, pendings = state
+        """One fixed-shape streaming step through every node (traceable).
+
+        The carried ``k`` (chunk index) drives warmup zeroing (see
+        :meth:`_warmups`): node i's input positions below ``warmups[i]`` are
+        forced to zero so its state matches the offline zero-prehistory run.
+        """
+        carries, pendings, k = state
+        lens = self.chunk_lens(chunk.shape[-1])
+        warmups = self._warmups(chunk.shape[-1])
         new_carries, new_pendings = [], []
         x = chunk
-        for node, carry, pending in zip(self.nodes, carries, pendings):
+        domain = "samples"
+        for i, (node, carry, pending) in enumerate(zip(self.nodes, carries, pendings)):
+            if warmups[i] and not node.warmup_passthrough:
+                axis = (-2 if domain == "frames" else -1) % x.ndim
+                m = lens[i]
+                pos = k * m + jax.lax.iota(jnp.int32, m)
+                shape = [1] * x.ndim
+                shape[axis] = m
+                x = jnp.where(pos.reshape(shape) >= warmups[i], x, 0)
+            if node.domain_out != "any":
+                domain = node.domain_out
             carry, x = node.step(carry, x)
             if pending is not None:
                 axis = self._stream_axis(node) % x.ndim
@@ -268,7 +312,7 @@ class Graph:
                 pending = jax.lax.slice_in_dim(buf, n_out, buf.shape[axis], axis=axis)
             new_carries.append(carry)
             new_pendings.append(pending)
-        return (new_carries, new_pendings), x
+        return (new_carries, new_pendings, k + 1), x
 
     def compile_stream(self, donate: bool = True) -> Callable:
         """Jitted ``step(state, chunk) -> (state, out)``; donate recycles the
@@ -306,3 +350,204 @@ class Graph:
 def chain(*nodes: Node, input_rate: int | None = None, name: str = "graph") -> Graph:
     """Convenience constructor: ``chain(Resample(...), Stft(...), ...)``."""
     return Graph(tuple(nodes), input_rate=input_rate, name=name)
+
+
+@dataclass(frozen=True)
+class Fork:
+    """A trunk graph feeding N named branch graphs — multi-OUTPUT DAG support
+    (the reference's pipeline fork: VAD-gated wire egress AND ungated
+    features from one capture stream, SURVEY §3.3), traced into ONE jitted
+    XLA program so the shared trunk is computed once.
+
+    Unlike :class:`audioflow_tpu.graph.nodes.Mix` (which merges same-shape
+    branches back into the chain), Fork's branches are independent full
+    graphs with their own output domains, lengths, and streaming latencies;
+    outputs are a ``{name: array}`` dict.
+
+    Streaming: state = (trunk_state, {name: branch_state}); each branch's
+    streamed output equals its offline output shifted by that branch's
+    ``stream_latency`` — per-branch, no cross-branch alignment imposed.
+    """
+
+    trunk: Graph
+    branches: tuple  # tuple[(name, Graph), ...]
+    name: str = "fork"
+
+    def __post_init__(self):
+        if not self.branches:
+            raise ConfigError("Fork needs at least one branch")
+        bs = tuple((str(k), g) for k, g in self.branches)
+        names = [k for k, _ in bs]
+        if len(set(names)) != len(names):
+            raise ConfigError(f"duplicate Fork branch names: {names}")
+        out_rate = self.trunk.output_rate
+        out_domain = "samples"
+        for n in self.trunk.nodes:
+            if n.domain_out != "any":
+                out_domain = n.domain_out
+        for k, g in bs:
+            if not _domains_compatible(out_domain, g.nodes[0].domain_in):
+                raise ConfigError(
+                    f"Fork branch {k!r} expects domain {g.nodes[0].domain_in!r} "
+                    f"but trunk produces {out_domain!r}"
+                )
+            if g.input_rate is not None and out_rate is not None and g.input_rate != out_rate:
+                raise ConfigError(
+                    f"Fork branch {k!r} input_rate {g.input_rate} != trunk output rate {out_rate}"
+                )
+        object.__setattr__(self, "branches", bs)
+
+    @property
+    def input_rate(self):
+        return self.trunk.input_rate
+
+    @property
+    def streamable(self) -> bool:
+        return self.trunk.streamable and all(g.streamable for _, g in self.branches)
+
+    # ------------------------------------------------------------- offline
+    def chain(self, x: jnp.ndarray) -> dict:
+        y = self.trunk.chain(x)
+        return {k: g.chain(y) for k, g in self.branches}
+
+    def __call__(self, x):
+        return self.chain(x)
+
+    def compile(self, donate: bool = False) -> Callable:
+        """One jitted program computing every branch (trunk runs once)."""
+        return jax.jit(self.chain, donate_argnums=(0,) if donate else ())
+
+    # ----------------------------------------------------------- streaming
+    def chunk_granularity(self) -> int:
+        import math
+        from fractions import Fraction
+
+        gran = self.trunk.chunk_granularity()
+        # a branch's granularity constraint maps back through the trunk ratio
+        ratio = Fraction(1)
+        for node in self.trunk.nodes:
+            m = node.chunk_multiple()
+            ratio *= Fraction(node.out_len(m), m)
+        for _, g in self.branches:
+            m = g.chunk_granularity()
+            need = (m * ratio.denominator) // math.gcd(ratio.numerator, m * ratio.denominator)
+            gran = math.lcm(gran, need)
+        return gran
+
+    def _trunk_out_len(self, chunk_in: int) -> int:
+        return self.trunk.chunk_lens(chunk_in)[-1]
+
+    def _branch_pads(self, chunk_in: int) -> dict:
+        """Per-branch alignment of the trunk's streaming latency: pad it up
+        to the branch's chunk granularity (the same alignment Graph._delays
+        applies within a chain) so each branch's streamed output is an exact
+        whole-unit shift of its offline output."""
+        trunk_lat = self.trunk.stream_latency(chunk_in)
+        return {
+            k: (-trunk_lat) % g.chunk_granularity() if trunk_lat else 0
+            for k, g in self.branches
+        }
+
+    def _trunk_axis(self) -> int:
+        domain = "samples"
+        for n in self.trunk.nodes:
+            if n.domain_out != "any":
+                domain = n.domain_out
+        return -2 if domain == "frames" else -1
+
+    def stream_latency(self, chunk_in: int) -> dict:
+        """Per-branch streaming latency in that branch's output units."""
+        mid = self._trunk_out_len(chunk_in)
+        trunk_lat = self.trunk.stream_latency(chunk_in)
+        pads = self._branch_pads(chunk_in)
+        out = {}
+        for k, g in self.branches:
+            lens = g.chunk_lens(mid)
+            aligned = trunk_lat + pads[k]
+            # aligned trunk latency (trunk-output units) -> branch output units
+            assert (aligned * lens[-1]) % mid == 0
+            out[k] = aligned * lens[-1] // mid + g.stream_latency(mid)
+        return out
+
+    def init_state(self, chunk_in: int, lead_shape: tuple = (), dtype=jnp.float32):
+        mid = self._trunk_out_len(chunk_in)
+        pads = self._branch_pads(chunk_in)
+        trunk_state = self.trunk.init_state(chunk_in, lead_shape, dtype)
+        axis = self._trunk_axis()
+        spec = jax.eval_shape(
+            lambda s, c: self.trunk.stream_step(s, c)[1],
+            trunk_state, jnp.zeros((*lead_shape, chunk_in), dtype),
+        )
+        pend = {}
+        for k, _ in self.branches:
+            if pads[k] == 0:
+                pend[k] = None
+                continue
+            shape = list(spec.shape)
+            shape[axis % len(shape)] = pads[k]
+            pend[k] = jnp.zeros(shape, spec.dtype)
+        return (
+            trunk_state,
+            {k: g.init_state(mid, lead_shape, dtype) for k, g in self.branches},
+            pend,
+        )
+
+    def stream_step(self, state, chunk: jnp.ndarray):
+        trunk_state, branch_states, pend = state
+        step_idx = trunk_state[2]  # trunk chunk counter (drives warmup zeroing)
+        trunk_state, y = self.trunk.stream_step(trunk_state, chunk)
+        axis_hint = self._trunk_axis()
+        trunk_lat = self.trunk.stream_latency(chunk.shape[-1])
+        y_zeroed = y
+        if trunk_lat:
+            # zero the trunk's own preroll so branch carries never see it
+            # (the in-chain analog is Graph._warmups; branches whose head
+            # node consumes the preroll — warmup_passthrough — get raw y)
+            axis = axis_hint % y.ndim
+            mid = y.shape[axis]
+            pos = step_idx * mid + jax.lax.iota(jnp.int32, mid)
+            shape = [1] * y.ndim
+            shape[axis] = mid
+            y_zeroed = jnp.where(pos.reshape(shape) >= trunk_lat, y, 0)
+        new_states, new_pend, outs = {}, {}, {}
+        for k, g in self.branches:
+            yk = y if g.nodes[0].warmup_passthrough else y_zeroed
+            pk = pend[k]
+            if pk is not None:
+                axis = axis_hint % y.ndim
+                n_out = y.shape[axis]
+                buf = jnp.concatenate([pk, y], axis=axis)
+                yk = jax.lax.slice_in_dim(buf, 0, n_out, axis=axis)
+                pk = jax.lax.slice_in_dim(buf, n_out, buf.shape[axis], axis=axis)
+            new_states[k], outs[k] = g.stream_step(branch_states[k], yk)
+            new_pend[k] = pk
+        return (trunk_state, new_states, new_pend), outs
+
+    def compile_stream(self, donate: bool = True) -> Callable:
+        return jax.jit(self.stream_step, donate_argnums=(0,) if donate else ())
+
+    def scan_stream(self, x: jnp.ndarray, chunk_in: int) -> dict:
+        """Whole-signal streaming in one program; dict of concatenated outputs."""
+        t = x.shape[-1]
+        if t % chunk_in:
+            raise AudioError(
+                f"signal length {t} not a multiple of chunk_in {chunk_in}; pad first",
+                code=ErrorCode.SHAPE_MISMATCH,
+            )
+        lead = x.shape[:-1]
+        n_chunks = t // chunk_in
+        state = self.init_state(chunk_in, lead, x.dtype)
+        chunks = jnp.moveaxis(x.reshape(*lead, n_chunks, chunk_in), -2, 0)
+        _, outs = jax.lax.scan(lambda s, c: self.stream_step(s, c), state, chunks)
+
+        def merge(o, g):
+            o = jnp.moveaxis(o, 0, len(lead))  # [..., n_chunks, m(, F)]
+            m = o.shape[len(lead) + 1]
+            return o.reshape(*lead, n_chunks * m, *o.shape[len(lead) + 2 :])
+
+        return {k: merge(outs[k], g) for k, g in self.branches}
+
+
+def fork(trunk: Graph, name: str = "fork", **branches: Graph) -> Fork:
+    """Convenience constructor: ``fork(trunk, wire=g1, features=g2)``."""
+    return Fork(trunk, tuple(branches.items()), name=name)

@@ -56,6 +56,14 @@ class Node:
     domain_in = "samples"
     domain_out = "samples"
     streamable = True
+    # When True, Graph.stream_step does NOT zero this node's upstream-warmup
+    # input region (Graph._warmups). Default False is right for recursive/
+    # accumulating nodes (biquad, limiter, VAD EMA): offline they start from
+    # zero state at sample 0, so the preroll must look like zeros. Opt out
+    # for nodes whose streaming design *consumes* the preroll — e.g. Istft's
+    # WOLA identity-reconstruction, whose wsum ramp bookkeeping counts every
+    # incoming frame and is exact for any prefix but wrong for zeroed frames.
+    warmup_passthrough = False
 
     # --- rate/meta propagation -------------------------------------------
     def rate_out(self, rate_in: int | None) -> int | None:
@@ -663,6 +671,10 @@ class Istft(Node):
     impl: str = "matmul"
     domain_in = "frames"
     domain_out = "samples"
+    # WOLA identity-reconstruction is exact for ANY incoming frame stream;
+    # the wsum ramp carry counts every frame, so zeroed warmup frames would
+    # corrupt the normalization — consume the upstream preroll instead.
+    warmup_passthrough = True
 
     @property
     def streamable(self):  # center-padding needs the whole signal
@@ -734,6 +746,10 @@ class PhaseVocoderStretch(Node):
 
     domain_in = "frames"
     domain_out = "frames"
+    # phase accumulation is seeded from the incoming stream's first frames
+    # (see class docstring); zeroed warmup frames would re-seed it from a
+    # degenerate zero-magnitude frame instead of the preroll
+    warmup_passthrough = True
 
     def __post_init__(self):
         import math as _math
@@ -824,3 +840,188 @@ class PhaseVocoderStretch(Node):
         last = jnp.where(ok, last / jnp.where(ok, last_mag, 1.0), 1.0 + 0.0j)
         new_carry = (buf[..., -self._history :, :], last)
         return new_carry, out
+
+
+_MIX_COMBINES = ("sum", "mean", "product", "max", "min")
+
+
+@register_node
+@dataclass(frozen=True)
+class Mix(Node):
+    """Multi-branch combine: run each branch sub-chain on the SAME input and
+    merge the outputs elementwise — the in-chain fork the reference's
+    pipeline implies (VAD result both gates audio and feeds the level meter,
+    SURVEY §3.3; dry/wet and multiband patterns generally). The whole fork
+    still traces into ONE XLA program.
+
+    ``branches`` is a tuple of node tuples. All branches must end in the
+    same domain with identical output lengths and rates. ``weights`` scales
+    each branch before combining (dry/wet mixing); None = unweighted.
+
+    Streaming: each branch keeps its own carry chain; branches with smaller
+    intrinsic latency are delayed (zero-filled pending buffers) up to the
+    slowest branch, so the streamed mix equals the offline mix shifted by
+    one whole-unit latency — the graph invariant, kept exactly.
+    """
+
+    branches: tuple = ()
+    combine: str = "sum"
+    weights: tuple | None = None
+
+    domain_in = "samples"
+    domain_out = "samples"
+
+    def __post_init__(self):
+        if len(self.branches) < 2:
+            raise AudioError(
+                "Mix needs at least 2 branches", code=ErrorCode.CONFIG_VALIDATION_ERROR
+            )
+        if self.combine not in _MIX_COMBINES:
+            raise AudioError(
+                f"unknown combine {self.combine!r}; known: {_MIX_COMBINES}",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+        if self.weights is not None and len(self.weights) != len(self.branches):
+            raise AudioError(
+                f"weights ({len(self.weights)}) != branches ({len(self.branches)})",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+        object.__setattr__(self, "branches", tuple(tuple(b) for b in self.branches))
+
+    # --- graph construction -------------------------------------------------
+    def _graphs(self):
+        gs = getattr(self, "_bound_graphs", None)
+        if gs is None:
+            gs = self._build(None)
+        return gs
+
+    def _build(self, rate):
+        from .graph import Graph
+
+        gs = tuple(Graph(b, input_rate=rate, name=f"mix_branch_{i}")
+                   for i, b in enumerate(self.branches))
+        d0 = gs[0].nodes[-1].domain_out
+        for g in gs[1:]:
+            if g.nodes[-1].domain_out != d0:
+                raise AudioError(
+                    f"Mix branches end in different domains: "
+                    f"{[g.nodes[-1].domain_out for g in gs]}",
+                    code=ErrorCode.CONFIG_VALIDATION_ERROR,
+                )
+            if g.output_rate != gs[0].output_rate:
+                raise AudioError(
+                    f"Mix branches end at different rates: "
+                    f"{[g.output_rate for g in gs]}",
+                    code=ErrorCode.CONFIG_VALIDATION_ERROR,
+                )
+        m = self.chunk_multiple_of(gs)
+        lens = {g_.chunk_lens(m)[-1] for g_ in gs}
+        if len(lens) != 1:
+            raise AudioError(
+                f"Mix branches disagree on output length for chunk {m}: {lens}",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+        object.__setattr__(self, "_bound_graphs", gs)
+        object.__setattr__(self, "domain_out", gs[0].nodes[-1].domain_out)
+        return gs
+
+    def bind(self, rate_in):
+        new = dataclasses.replace(self)
+        new._build(rate_in)
+        return new
+
+    def rate_out(self, rate_in):
+        return self._graphs()[0].output_rate
+
+    @property
+    def streamable(self):
+        return all(g.streamable for g in self._graphs())
+
+    # --- offline -------------------------------------------------------------
+    def _merge(self, outs):
+        if self.weights is not None:
+            outs = [w * o for w, o in zip(self.weights, outs)]
+        if self.combine == "sum":
+            y = outs[0]
+            for o in outs[1:]:
+                y = y + o
+            return y
+        if self.combine == "mean":
+            y = outs[0]
+            for o in outs[1:]:
+                y = y + o
+            return y / len(outs)
+        if self.combine == "product":
+            y = outs[0]
+            for o in outs[1:]:
+                y = y * o
+            return y
+        fn = jnp.maximum if self.combine == "max" else jnp.minimum
+        y = outs[0]
+        for o in outs[1:]:
+            y = fn(y, o)
+        return y
+
+    def apply(self, x):
+        return self._merge([g.chain(x) for g in self._graphs()])
+
+    # --- streaming -------------------------------------------------------------
+    def chunk_multiple_of(self, gs):
+        import math as _math
+
+        m = 1
+        for g in gs:
+            m = _math.lcm(m, g.chunk_granularity())
+        return m
+
+    def chunk_multiple(self):
+        return self.chunk_multiple_of(self._graphs())
+
+    def out_len(self, n_in):
+        return self._graphs()[0].chunk_lens(n_in)[-1]
+
+    def latency(self, n_in):
+        return max(g.stream_latency(n_in) for g in self._graphs())
+
+    def _stream_axis(self):
+        return -2 if self.domain_out == "frames" else -1
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        gs = self._graphs()
+        lat = self.latency(n_in)
+        states, pads = [], []
+        for g in gs:
+            states.append(g.init_state(n_in, lead_shape, dtype))
+            need = lat - g.stream_latency(n_in)
+            if need == 0:
+                pads.append(None)
+                continue
+            import jax as _jax
+
+            spec = _jax.eval_shape(
+                lambda c, ch, g=g: g.stream_step(c, ch)[1],
+                states[-1], jnp.zeros((*lead_shape, n_in), dtype),
+            )
+            shape = list(spec.shape)
+            shape[self._stream_axis() % len(shape)] = need
+            pads.append(jnp.zeros(shape, spec.dtype))
+        return tuple(states), tuple(pads)
+
+    def step(self, carry, chunk):
+        import jax as _jax
+
+        states, pads = carry
+        new_states, new_pads, outs = [], [], []
+        axis_hint = self._stream_axis()
+        for g, st, pend in zip(self._graphs(), states, pads):
+            st, y = g.stream_step(st, chunk)
+            if pend is not None:
+                axis = axis_hint % y.ndim
+                n_out = y.shape[axis]
+                buf = jnp.concatenate([pend, y], axis=axis)
+                y = _jax.lax.slice_in_dim(buf, 0, n_out, axis=axis)
+                pend = _jax.lax.slice_in_dim(buf, n_out, buf.shape[axis], axis=axis)
+            new_states.append(st)
+            new_pads.append(pend)
+            outs.append(y)
+        return (tuple(new_states), tuple(new_pads)), self._merge(outs)

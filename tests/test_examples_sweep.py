@@ -86,8 +86,10 @@ def test_random_graph_streaming_equals_offline(seed):
     n = min(len(streamed) - lat, len(offline))
     assert n >= 8, (chunk, lat)
     a, b = streamed[lat : lat + n], offline[:n]
-    # IIR-bearing graphs have a decaying preroll transient; compare the body
-    skip = min(n // 3, 400)
-    np.testing.assert_allclose(a[skip:], b[skip:], atol=5e-3)
-    scale = max(np.abs(b[skip:]).max(), 1e-3)
-    np.testing.assert_allclose(a[skip:], b[skip:], atol=2e-3 * scale)
+    # exact from sample 0: warmup zeroing (Graph._warmups) keeps recursive
+    # carries (biquad/limiter) clean of upstream preroll. The only remaining
+    # difference is f32 reassociation noise between the chunked and
+    # whole-signal programs (~1e-5 relative); the pre-fix preroll transient
+    # was ~6e-3 relative, so this tolerance catches any regression.
+    scale = max(float(np.abs(b).max()), 0.5)
+    np.testing.assert_allclose(a, b, atol=5e-5 * scale)

@@ -10,6 +10,7 @@ from audioflow_tpu.graph import (
     BiquadChain,
     Gain,
     Graph,
+    Istft,
     Limiter,
     MelProject,
     Power,
@@ -110,6 +111,38 @@ def test_stream_resample_matches_offline_after_latency(rng):
     assert lat > 0
     n = len(streamed) - lat
     np.testing.assert_allclose(streamed[lat:], offline[:n], atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "tail",
+    [
+        lambda: [BiquadChain((ops.highpass(100.0, 16000.0),))],
+        lambda: [Limiter(-3.0)],
+        lambda: [Stft(512, 128, center=False), Istft(512, 128, center=False)],
+    ],
+    ids=["biquad", "limiter", "stft-istft"],
+)
+def test_recursive_node_after_latency_is_exact_from_sample_zero(rng, tail):
+    """Regression: a recursive/accumulating node downstream of a
+    latency-bearing node must NOT fold the upstream preroll into its carry
+    (Graph._warmups zeroing). Before the fix, resample->biquad streamed
+    diverged from offline by ~2e-3 over the filter's settle time — from the
+    very first valid sample, on CPU and TPU alike."""
+    nodes = tail()
+    g = chain(Resample(48000, 16000, "kaiser"), *nodes, input_rate=48000)
+    chunk = g.chunk_granularity() * 4
+    x = (0.3 * rng.standard_normal(chunk * 10)).astype(np.float32)
+    offline = np.asarray(g.chain(jnp.asarray(x)))
+    streamed = np.asarray(g.scan_stream(jnp.asarray(x), chunk))
+    lat = g.stream_latency(chunk)
+    n = min(len(streamed) - lat, len(offline))
+    # exact from position 0 of the valid region — no settle-time exclusion.
+    # Exception: the offline ISTFT's first few samples divide ~0/~0 (hann[0]
+    # == 0 leaves wsum degenerate at the very edge — same skip as
+    # test_istft_streaming_matches_offline), which is an offline edge
+    # convention, not a streaming transient.
+    deg = 4 if any(isinstance(nd, Istft) for nd in nodes) else 0
+    np.testing.assert_allclose(streamed[lat + deg : lat + n], offline[deg:n], atol=2e-5)
 
 
 def test_stream_full_pipeline_scan(rng):
