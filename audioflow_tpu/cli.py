@@ -330,14 +330,14 @@ def cmd_egress(args) -> int:
     """The reference's full dictation egress, end to end: WAV -> (VAD gate) ->
     resample to 16 kHz -> i16 wire chunks -> WebSocket, printing transcript
     events (connect_scribe + send_audio + receive_transcription parity,
-    commands.rs:202-306)."""
+    commands.rs:202-306). Runs on the live ScribeSession driver: background
+    receive thread, keepalive pings, auto-reconnect with session resume."""
     import jax.numpy as jnp
 
     from .graph import Resample, VadGate, chain
     from .io import read_wav
-    from .session.transcript import TranscriptAccumulator, parse_scribe_message
-    from .sinks import WebSocketClient, WebSocketConfig
-    from .sinks.websocket import Opcode
+    from .session import ScribeConfig, ScribeSession
+    from .sinks import WebSocketConfig
 
     data, rate = read_wav(args.input)
     if data.ndim == 2:
@@ -353,52 +353,37 @@ def cmd_egress(args) -> int:
     api_key = args.api_key or ""
     if not api_key and cfg.api.api_key_env:
         api_key = os.environ.get(cfg.api.api_key_env, "")
-    client = WebSocketClient(
-        WebSocketConfig(
-            url=args.url,
-            api_key=api_key,
-            connect_timeout_s=cfg.api.connect_timeout_s,
-            reconnect_delay_ms=cfg.api.reconnect_delay_ms,
-            max_reconnect_attempts=cfg.api.max_reconnect_attempts,
+    session = ScribeSession(
+        ScribeConfig(
+            model_id=cfg.api.model_id,
+            language_code=cfg.api.language_code,
+            ws=WebSocketConfig(
+                url=args.url,
+                api_key=api_key,
+                connect_timeout_s=cfg.api.connect_timeout_s,
+                reconnect_delay_ms=cfg.api.reconnect_delay_ms,
+                max_reconnect_attempts=cfg.api.max_reconnect_attempts,
+            ),
         )
     )
-    client.connect_with_retry()
-    client.send_init_config(cfg.api.model_id, cfg.api.language_code)
     pcm = np.asarray(g.compile()(jnp.asarray(data))) if g else data
     chunk = args.chunk or 16000 // 5  # 200 ms
-    acc = TranscriptAccumulator()
     results = []
-    done = False
 
-    def drain(timeout):
-        """Consume any pending replies; True once a final transcript lands."""
-        nonlocal done
-        try:
-            while not done:
-                msg = client.receive(timeout=timeout)
-                if msg.opcode is not Opcode.TEXT:
-                    done = True
-                    break
-                out = acc.feed(parse_scribe_message(msg.text))
-                if out:
-                    results.append(out)
-                    print(json.dumps(out))
-                    if out["is_final"]:
-                        done = True
-        except AudioFlowError:
-            pass  # timeout/close ends this drain
+    def print_new():
+        while (out := session.poll()) is not None:
+            results.append(out)
+            print(json.dumps(out))
 
-    sent = 0
-    for i in range(0, len(pcm), chunk):
-        client.send_audio(pcm[i : i + chunk])
-        sent += 1
-        # interleave receives with sends so a chatty server can't fill both
-        # TCP buffers and deadlock the send loop (reference behavior)
-        drain(timeout=0.005)
-    if not done:
-        drain(timeout=args.receive_timeout)
-    client.close()
-    print(json.dumps({"chunks_sent": sent, "results": len(results)}))
+    with session:
+        for i in range(0, len(pcm), chunk):
+            session.send_audio(pcm[i : i + chunk], wait_reconnect_s=args.receive_timeout)
+            print_new()  # results stream in on the rx thread; surface them live
+        if not any(r["is_final"] for r in results):
+            for out in session.drain(timeout=args.receive_timeout):
+                results.append(out)
+                print(json.dumps(out))
+    print(json.dumps({"chunks_sent": session.chunks_sent, "results": len(results)}))
     return 0
 
 
@@ -442,6 +427,7 @@ def cmd_vad(args) -> int:
 
 def cmd_bench(args) -> int:
     from .bench import run_benchmark
+    from .obs import profile_trace
 
     names = (
         ["stft", "logmel", "master", "pvoc", "streaming"]
@@ -449,10 +435,13 @@ def cmd_bench(args) -> int:
         else [args.benchmark]
     )
     results = []
-    for name in names:
-        r = run_benchmark(name, batch=args.batch, seconds=args.seconds, sharded=args.sharded)
-        results.append(r)
-        print(json.dumps(r))
+    with profile_trace(args.profile_dir):  # device trace -> TensorBoard/XProf
+        for name in names:
+            r = run_benchmark(name, batch=args.batch, seconds=args.seconds, sharded=args.sharded)
+            results.append(r)
+            print(json.dumps(r))
+    if args.profile_dir:
+        _log.info("profiler trace written to %s", args.profile_dir)
     if args.report:
         lines = [
             "# Benchmarks",
@@ -573,6 +562,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--seconds", type=float, default=10.0)
     b.add_argument("--sharded", action="store_true")
     b.add_argument("--report", help="write a markdown table to this path")
+    b.add_argument(
+        "--profile-dir",
+        default="",
+        help="capture a jax.profiler device trace here (TensorBoard/XProf)",
+    )
     b.set_defaults(fn=cmd_bench)
 
     val = sub.add_parser("validate", help="numerics validation report")

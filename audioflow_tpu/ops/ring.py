@@ -2,10 +2,16 @@
 
 The reference's ring buffer (capture.rs:83-161) is the thread-crossing between
 the OS audio callback and the consumer. The TPU analog keeps the ring as HBM
-state inside the streaming graph (SURVEY §2.2 "TPU equivalent"): a fixed
-``[capacity]`` buffer plus read/write cursors, updated functionally with
-``lax.dynamic_update_slice`` so a jitted producer/consumer step compiles to
-in-place HBM writes (with donated carries).
+state inside the streaming session (SURVEY §2.2 "TPU equivalent"): a fixed
+``[..., capacity]`` buffer plus read/write cursors, updated functionally with
+scatter/gather so a jitted producer/consumer step compiles to in-place HBM
+writes (with donated carries). Leading dims ride along (one ring per batch
+lane, shared cursors — the session always pushes full-width).
+
+This is the accumulator behind ``StreamSession.push``: irregular host pushes
+land in the ring with no host-side concatenation; full chunks are read out
+(zero-padded on flush, exactly the BatchResampler::flush semantics) and fed
+to the jitted graph step.
 
 Behavioral quirks preserved (SURVEY §7.4):
 * usable capacity is ``capacity - 1`` (one slot reserved, capture.rs:108-111);
@@ -24,56 +30,66 @@ import jax.numpy as jnp
 
 
 class Ring(NamedTuple):
-    buf: jnp.ndarray  # [capacity]
+    buf: jnp.ndarray  # [..., capacity]
     read_pos: jnp.ndarray  # i32 scalar
     write_pos: jnp.ndarray  # i32 scalar
 
 
-def ring_init(capacity: int, dtype=jnp.float32) -> Ring:
+def ring_init(capacity: int, lead_shape: tuple = (), dtype=jnp.float32) -> Ring:
     if capacity < 2:
         raise ValueError("capacity must be >= 2 (one slot is reserved)")
     z = jnp.zeros((), jnp.int32)
-    return Ring(jnp.zeros(capacity, dtype), z, z)
+    return Ring(jnp.zeros((*lead_shape, capacity), dtype), z, z)
 
 
 def ring_available(ring: Ring) -> jnp.ndarray:
     """Samples available to read (capture.rs:148-152)."""
-    cap = ring.buf.shape[0]
+    cap = ring.buf.shape[-1]
     return (ring.write_pos - ring.read_pos) % cap
 
 
 def ring_free(ring: Ring) -> jnp.ndarray:
     """Writable space = capacity - 1 - available (capacity-1 semantics)."""
-    return ring.buf.shape[0] - 1 - ring_available(ring)
+    return ring.buf.shape[-1] - 1 - ring_available(ring)
 
 
-def ring_write(ring: Ring, data: jnp.ndarray) -> tuple[Ring, jnp.ndarray]:
-    """Write up to ``len(data)``; partial on overflow. Returns (ring, n_written)."""
-    cap = ring.buf.shape[0]
-    n = data.shape[0]
+def ring_write(ring: Ring, data: jnp.ndarray, n=None) -> tuple[Ring, jnp.ndarray]:
+    """Write up to ``n`` (default ``data.shape[-1]``) samples of ``data``;
+    partial on overflow. Returns (ring, n_written).
+
+    ``n`` may be a traced scalar smaller than the data width: callers pad
+    ``data`` to a small set of bucket shapes and pass the true length, so
+    irregular push sizes reuse a handful of compiled programs instead of
+    recompiling per shape (jit caches by shape; on TPU each extra shape is a
+    fresh ~seconds-long compile)."""
+    cap = ring.buf.shape[-1]
+    if n is None:
+        n = data.shape[-1]
     n_write = jnp.minimum(n, ring_free(ring))
     # circular scatter; rejected samples get an out-of-range index and are
     # dropped by the scatter itself. (Masking values instead would scatter
     # DUPLICATE indices when n > cap and the resolution order is
     # backend-dependent — observed: CPU kept the data, TPU kept the zero.)
-    idx = (ring.write_pos + jnp.arange(n, dtype=jnp.int32)) % cap
-    mask = jnp.arange(n) < n_write
+    width = data.shape[-1]  # static; n may be traced
+    idx = (ring.write_pos + jnp.arange(width, dtype=jnp.int32)) % cap
+    mask = jnp.arange(width) < n_write
     idx = jnp.where(mask, idx, cap)  # cap is out of bounds -> dropped
-    buf = ring.buf.at[idx].set(data, mode="drop")
+    buf = ring.buf.at[..., idx].set(data, mode="drop")
     return Ring(buf, ring.read_pos, (ring.write_pos + n_write) % cap), n_write
 
 
 def ring_read(ring: Ring, size: int) -> tuple[Ring, jnp.ndarray, jnp.ndarray]:
-    """Read up to ``size``; returns (ring, values [size] zero-padded, n_read).
+    """Read up to ``size``; returns (ring, values [..., size] zero-padded,
+    n_read).
 
     The reference returns None when empty (capture.rs:125-145); here the
     traced equivalent is ``n_read == 0``.
     """
-    cap = ring.buf.shape[0]
+    cap = ring.buf.shape[-1]
     n_read = jnp.minimum(size, ring_available(ring))
     idx = (ring.read_pos + jnp.arange(size, dtype=jnp.int32)) % cap
     mask = jnp.arange(size) < n_read
-    vals = jnp.where(mask, ring.buf[idx], 0)
+    vals = jnp.where(mask, ring.buf[..., idx], 0)
     return Ring(ring.buf, (ring.read_pos + n_read) % cap, ring.write_pos), vals, n_read
 
 

@@ -5,12 +5,18 @@ The TPU re-design of the reference's session layer
 PCM chunks, and polls typed transcript events with partial/committed
 semantics. Here the "service" is the jitted streaming graph on the chip:
 
-* ``push(samples)`` accumulates host-side and processes every full chunk —
-  the accumulate-and-chunk semantics of BatchResampler::process
-  (resampler.rs:132-147);
+* ``push(samples)`` lands irregular host pushes in a **device-resident ring
+  buffer** (:mod:`audioflow_tpu.ops.ring` — the TPU equivalent of the
+  reference's capture ring, capture.rs:83-161) and processes every full
+  chunk — the accumulate-and-chunk semantics of BatchResampler::process
+  (resampler.rs:132-147). The chunk count is tracked host-side, so the whole
+  push path is asynchronous dispatch: no readback, no host concatenation;
 * each processed chunk yields a **partial** :class:`Result` (the
-  PartialTranscript analog); ``flush()`` zero-pads the tail
-  (resampler.rs:150-166) and yields the **committed** final result;
+  PartialTranscript analog) whose ``data`` materializes to host **lazily**
+  (on first access / sink write), so a push loop with no eager consumer runs
+  at device speed instead of device+host serial; ``flush()`` zero-pads the
+  tail (resampler.rs:150-166 — the ring read's zero padding is exactly the
+  flush semantics) and yields the **committed** final result;
 * ``poll()``/``poll_all()`` drain the result queue (try_receive analog,
   scribe_client.rs:235-245);
 * ``snapshot()``/``restore()`` persist the carry pytree — the resumable
@@ -48,14 +54,38 @@ class SessionState(enum.Enum):
     FAILED = "failed"
 
 
-@dataclass(frozen=True)
 class Result:
-    """Per-chunk output (partial) or end-of-stream output (final)."""
+    """Per-chunk output (partial) or end-of-stream output (final).
 
-    data: np.ndarray
-    final: bool
-    index: int
-    timestamp: float = field(default_factory=time.time)
+    ``data`` materializes the device output to host lazily on first access,
+    so producing results never blocks the push loop (device/host overlap;
+    the offline runner's double-buffering analog for streaming)."""
+
+    __slots__ = ("_raw", "_host", "final", "index", "timestamp")
+
+    def __init__(self, data, final: bool, index: int, timestamp: float | None = None):
+        self._raw = data
+        self._host: np.ndarray | None = None
+        self.final = final
+        self.index = index
+        self.timestamp = time.time() if timestamp is None else timestamp
+
+    @property
+    def data(self) -> np.ndarray:
+        if self._host is None:
+            # tree_map handles both bare arrays and Fork's {name: array} dicts
+            self._host = jax.tree_util.tree_map(np.asarray, self._raw)
+            self._raw = None
+        return self._host
+
+    @property
+    def materialized(self) -> bool:
+        """True once the host copy exists (observable async-ness, for tests)."""
+        return self._host is not None
+
+    def __repr__(self):
+        state = "host" if self.materialized else "device"
+        return f"Result(index={self.index}, final={self.final}, {state})"
 
 
 class StreamSession:
@@ -71,6 +101,7 @@ class StreamSession:
         events: EventDispatcher | None = None,
         emit_partials: bool = True,
         stats: StatsFile | None = None,
+        ring_capacity: int | None = None,
     ):
         self.graph = graph
         gran = graph.chunk_granularity()
@@ -82,6 +113,14 @@ class StreamSession:
                 code=ErrorCode.SESSION_STATE_INVALID,
             )
         self.chunk_in = chunk_in
+        # device ring sizing: one reserved slot (capacity-1 usable) + room for
+        # the residual (< chunk_in) + the largest single push
+        self.ring_capacity = ring_capacity or (8 * chunk_in + 1)
+        if self.ring_capacity < 2 * chunk_in + 1:
+            raise SessionError(
+                f"ring_capacity {self.ring_capacity} < 2*chunk_in+1",
+                code=ErrorCode.SESSION_STATE_INVALID,
+            )
         self.lead_shape = tuple(lead_shape)
         self.dtype = dtype
         self.sinks = list(sinks)
@@ -92,7 +131,8 @@ class StreamSession:
         self.state = SessionState.IDLE
         self._step = None
         self._carry: Any = None
-        self._buffer = np.zeros((*self.lead_shape, 0), np.float32)
+        self._ring = None
+        self._pending = 0  # unprocessed samples in the ring (host-tracked)
         self._results: queue.Queue[Result] = queue.Queue()
         self._chunk_index = 0
         self._samples_in = 0
@@ -103,8 +143,14 @@ class StreamSession:
             return self  # idempotent, like connect-on-connected
         if self.state is SessionState.CLOSED:
             raise SessionError("session closed", code=ErrorCode.SESSION_CLOSED)
+        from ..ops import ring as _ring
+
         self._step = self.graph.compile_stream(donate=False)
         self._carry = self.graph.init_state(self.chunk_in, self.lead_shape, self.dtype)
+        self._ring = _ring.ring_init(self.ring_capacity, self.lead_shape, self.dtype)
+        self._pending = 0
+        self._write = jax.jit(_ring.ring_write)
+        self._read = jax.jit(_ring.ring_read, static_argnums=(1,))
         self.state = SessionState.OPEN
         from .registry import REGISTRY
 
@@ -125,7 +171,16 @@ class StreamSession:
 
     # ------------------------------------------------------------------ push
     def push(self, samples) -> int:
-        """Feed PCM; processes every complete chunk. Returns chunks processed."""
+        """Feed PCM; processes every complete chunk. Returns chunks processed.
+
+        The samples land in the device ring and full chunks are read out and
+        stepped — all asynchronous dispatch (the chunk count is tracked
+        host-side, so nothing reads back from the device here). Irregular
+        push sizes are split/padded HOST-side to power-of-two bucket shapes
+        before the device write: jit (and eager TPU dispatch) compiles per
+        shape, so without bucketing a ragged push stream recompiles the
+        write path on every new length — seconds per shape on TPU.
+        """
         if self.state is not SessionState.OPEN:
             raise SessionError(
                 f"push on {self.state.value} session", code=ErrorCode.SESSION_STATE_INVALID
@@ -136,30 +191,43 @@ class StreamSession:
                 f"lead shape {arr.shape[:-1]} != session lead {self.lead_shape}",
                 code=ErrorCode.SHAPE_MISMATCH,
             )
-        self._buffer = np.concatenate([self._buffer, arr], axis=-1)
-        self._samples_in += arr.shape[-1]
+        # ring invariant: residual < chunk_in at every drain point, one slot
+        # reserved -> headroom per write is capacity - chunk_in. Larger
+        # pushes are split and interleaved with drains (overflow-free; the
+        # reference's ring would partial-write instead, capture.rs:103-122,
+        # but a file-batch API must never drop samples).
+        headroom = self.ring_capacity - self.chunk_in
         done = 0
-        while self._buffer.shape[-1] >= self.chunk_in:
-            chunk = self._buffer[..., : self.chunk_in]
-            self._buffer = self._buffer[..., self.chunk_in :]
-            self._process(chunk, final=False)
-            done += 1
+        for i in range(0, arr.shape[-1], headroom):
+            piece = arr[..., i : i + headroom]
+            m = piece.shape[-1]
+            bucket = min(headroom, max(256, 1 << (m - 1).bit_length()))
+            if bucket > m:
+                widths = [(0, 0)] * (piece.ndim - 1) + [(0, bucket - m)]
+                piece = np.pad(piece, widths)
+            self._ring, _ = self._write(self._ring, jnp.asarray(piece, self.dtype), m)
+            self._pending += m
+            self._samples_in += m
+            while self._pending >= self.chunk_in:
+                self._ring, chunk, _ = self._read(self._ring, self.chunk_in)
+                self._pending -= self.chunk_in
+                self._process(chunk, final=False)
+                done += 1
         return done
 
-    def _process(self, chunk: np.ndarray, final: bool) -> Result:
-        self._carry, out = self._step(self._carry, jnp.asarray(chunk))
-        host = np.asarray(out)
-        res = Result(host, final, self._chunk_index)
+    def _process(self, chunk: jnp.ndarray, final: bool) -> Result:
+        self._carry, out = self._step(self._carry, chunk)
+        res = Result(out, final, self._chunk_index)
         self._chunk_index += 1
         if self.emit_partials or final:
             self._results.put(res)
         for sink in self.sinks:
-            sink.write(host)
+            sink.write(res.data)  # sinks need host data: materializes here
         if self.events.enabled:
-            rms = float(np.sqrt(np.mean(chunk**2)))
-            peak = float(np.max(np.abs(chunk))) if chunk.size else 0.0
+            rms = float(jnp.sqrt(jnp.mean(chunk**2)))
+            peak = float(jnp.max(jnp.abs(chunk))) if chunk.size else 0.0
             self.events.emit_audio_level(rms=rms, peak=peak)
-            self.events.emit_result(host, final=final, index=res.index)
+            self.events.emit_result(res.data, final=final, index=res.index)
         return res
 
     # ------------------------------------------------------------------ poll
@@ -182,18 +250,16 @@ class StreamSession:
     def flush(self) -> Result | None:
         """Zero-pad and process the tail (flush parity), emitting the final
         committed result. No-op (returns None) if nothing is pending and at
-        least one chunk was emitted."""
+        least one chunk was emitted. The ring read is already zero-padded to
+        chunk_in — exactly BatchResampler::flush (resampler.rs:150-166)."""
         if self.state is not SessionState.OPEN:
             raise SessionError(
                 f"flush on {self.state.value} session", code=ErrorCode.SESSION_STATE_INVALID
             )
-        tail = self._buffer.shape[-1]
-        if tail == 0 and self._chunk_index > 0:
+        if self._pending == 0 and self._chunk_index > 0:
             return None
-        pad = self.chunk_in - tail
-        widths = [(0, 0)] * (self._buffer.ndim - 1) + [(0, pad)]
-        chunk = np.pad(self._buffer, widths)
-        self._buffer = self._buffer[..., :0]
+        self._ring, chunk, _ = self._read(self._ring, self.chunk_in)
+        self._pending = 0
         return self._process(chunk, final=True)
 
     def close(self) -> dict:
@@ -201,7 +267,7 @@ class StreamSession:
         if self.state is SessionState.CLOSED:
             return {}
         if self.state is SessionState.OPEN and (
-            self._buffer.shape[-1] > 0 or self._chunk_index == 0
+            self._pending > 0 or self._chunk_index == 0
         ):
             self.flush()
         for sink in self.sinks:
@@ -228,14 +294,23 @@ class StreamSession:
         return p if p.suffix == ".npz" else p.with_name(p.name + ".npz")
 
     def snapshot(self, path: str) -> None:
-        """Persist carry + pending buffer + counters (resumable, SURVEY §5.4)."""
+        """Persist carry + pending ring samples + counters (SURVEY §5.4).
+
+        The pending (not yet chunk-complete) samples are read out of the
+        device ring into the flat ``__buffer`` array, so the on-disk format
+        is unchanged from the host-buffer era and restores anywhere."""
         leaves, treedef = jax.tree_util.tree_flatten(self._carry)
         arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+        if self._pending:
+            _, vals, _ = self._read(self._ring, self.chunk_in)
+            buffer = np.asarray(vals)[..., : self._pending]
+        else:
+            buffer = np.zeros((*self.lead_shape, 0), np.float32)
         path = self._snapshot_path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
         np.savez(
             path,
-            __buffer=self._buffer,
+            __buffer=buffer,
             __chunk_index=self._chunk_index,
             __samples_in=self._samples_in,
             **arrays,
@@ -248,7 +323,23 @@ class StreamSession:
         leaves, treedef = jax.tree_util.tree_flatten(self._carry)
         restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
         self._carry = jax.tree_util.tree_unflatten(treedef, restored)
-        self._buffer = data["__buffer"]
+        from ..ops import ring as _ring
+
+        self._ring = _ring.ring_init(self.ring_capacity, self.lead_shape, self.dtype)
+        self._pending = 0
+        buffer = data["__buffer"]
+        if buffer.shape[-1]:
+            self._ring, _ = self._write(self._ring, jnp.asarray(buffer, self.dtype))
+            self._pending = int(buffer.shape[-1])
         self._chunk_index = int(data["__chunk_index"])
         self._samples_in = int(data["__samples_in"])
         return self
+
+
+from .scribe import ScribeConfig, ScribeSession  # noqa: E402  (duplex ASR driver)
+from .transcript import (  # noqa: E402
+    ScribeEvent,
+    ScribeEventKind,
+    TranscriptAccumulator,
+    parse_scribe_message,
+)

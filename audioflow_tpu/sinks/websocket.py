@@ -28,6 +28,7 @@ import secrets
 import socket
 import ssl
 import struct
+import threading
 import time
 import urllib.parse
 from dataclasses import dataclass
@@ -86,6 +87,9 @@ class WebSocketClient:
         self.state = ConnectionState.DISCONNECTED
         self._sock: socket.socket | None = None
         self._recv_buf = b""
+        # sends are frame-atomic so a receive thread's transparent pong (or a
+        # keepalive ping) can never interleave bytes with send_audio
+        self._send_lock = threading.Lock()
 
     # ------------------------------------------------------------- connect
     def connect(self) -> None:
@@ -218,7 +222,8 @@ class WebSocketClient:
             header += bytes([0x80 | 127]) + struct.pack(">Q", n)
         masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
         try:
-            self._sock.sendall(header + mask + masked)
+            with self._send_lock:
+                self._sock.sendall(header + mask + masked)
         except OSError as e:
             self.state = ConnectionState.FAILED
             raise IOError_(f"send failed: {e}", code=ErrorCode.CONNECTION_FAILED) from None
@@ -236,11 +241,27 @@ class WebSocketClient:
     def send_init_config(self, model_id: str, language_code: str) -> None:
         self.send_text(configure_message(model_id, language_code))
 
+    def ping(self, payload: bytes = b"") -> None:
+        """Keepalive ping (the behavior behind ``keepalive_interval_s``,
+        websocket.rs:66-90 — declared there, implemented here)."""
+        self._send_frame(Opcode.PING, payload)
+
     # ------------------------------------------------------------- receive
     def _read_exact(self, n: int) -> bytes:
-        assert self._sock is not None
         while len(self._recv_buf) < n:
-            chunk = self._sock.recv(65536)
+            sock = self._sock
+            if sock is None:  # closed concurrently
+                self.state = ConnectionState.DISCONNECTED
+                raise IOError_("connection closed", code=ErrorCode.CONNECTION_FAILED)
+            try:
+                chunk = sock.recv(65536)
+            except socket.timeout:
+                raise  # handled by receive() as CONNECTION_TIMEOUT
+            except OSError as e:  # abrupt reset/close -> typed error
+                self.state = ConnectionState.DISCONNECTED
+                raise IOError_(
+                    f"connection lost: {e}", code=ErrorCode.CONNECTION_FAILED
+                ) from None
             if not chunk:
                 self.state = ConnectionState.DISCONNECTED
                 raise IOError_("connection closed", code=ErrorCode.CONNECTION_FAILED)
@@ -251,9 +272,14 @@ class WebSocketClient:
     def receive(self, timeout: float | None = None) -> WsMessage:
         """Next data/control frame (websocket.rs:282-312 mapping). Pings are
         answered with pongs transparently."""
-        if self._sock is None:
+        sock = self._sock
+        if sock is None:
             raise IOError_("not connected", code=ErrorCode.CONNECTION_FAILED)
-        self._sock.settimeout(timeout)
+        try:
+            sock.settimeout(timeout)
+        except OSError:  # closed concurrently (e.g. session shutdown race)
+            self.state = ConnectionState.DISCONNECTED
+            raise IOError_("connection closed", code=ErrorCode.CONNECTION_FAILED) from None
         try:
             while True:
                 b0, b1 = self._read_exact(2)
