@@ -119,15 +119,46 @@ def mask_lanes(out, valid_mask) -> tuple:
     return out * m.reshape(shape).astype(out.dtype), m
 
 
-def multihost_init(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None):
-    """Initialize multi-host (DCN) JAX. No-op when already initialized or
-    running single-process. Mirrors the standard jax.distributed recipe."""
+def multihost_init(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Initialize multi-host (DCN) JAX; returns True when this call did the
+    initialization (SURVEY §5.8; run recipe in README §multi-host).
+
+    Only the benign already-initialized case is swallowed (returns False).
+    Real misconfiguration — wrong coordinator address, inconsistent
+    num_processes/process_id, unreachable peers — is logged and re-raised:
+    silently continuing single-host after a failed cluster init would shard
+    a fraction of the batch and quietly report wrong throughput.
+    """
+    from ..obs import get_logger
+
+    log = get_logger("parallel")
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # already initialized or single-process local run
-        pass
+    except RuntimeError as err:
+        if "already initialized" in str(err).lower():
+            log.debug("jax.distributed already initialized; multihost_init is a no-op")
+            return False
+        log.error(
+            "multi-host init failed (coordinator=%s, num_processes=%s, "
+            "process_id=%s): %s", coordinator, num_processes, process_id, err,
+        )
+        raise
+    except ValueError as err:
+        log.error(
+            "multi-host init misconfigured (coordinator=%s, num_processes=%s, "
+            "process_id=%s): %s", coordinator, num_processes, process_id, err,
+        )
+        raise
+    log.info(
+        "multi-host initialized: process %d/%d, %d global devices",
+        jax.process_index(), jax.process_count(), jax.device_count(),
+    )
+    return True

@@ -137,3 +137,40 @@ def test_trainable_step_has_gradient_allreduce(rng):
     y = shard_batch(rng.integers(0, 2, 8).astype(np.int32), mesh)
     hlo = step.lower(params, opt.init(params), x, y).compile().as_text().lower()
     assert "all-reduce" in hlo
+
+
+def test_multihost_init_honest_error_handling(monkeypatch):
+    """multihost_init (SURVEY §5.8): benign already-initialized -> False,
+    real misconfiguration -> logged and re-raised, success -> True."""
+    import jax as _jax
+
+    from audioflow_tpu import parallel
+
+    calls = {}
+
+    def fake_ok(coordinator_address=None, num_processes=None, process_id=None):
+        calls["args"] = (coordinator_address, num_processes, process_id)
+
+    monkeypatch.setattr(_jax.distributed, "initialize", fake_ok)
+    assert parallel.multihost_init("10.0.0.1:1234", 2, 0) is True
+    assert calls["args"] == ("10.0.0.1:1234", 2, 0)
+
+    def fake_already(**kw):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(_jax.distributed, "initialize", fake_already)
+    assert parallel.multihost_init() is False
+
+    def fake_bad(**kw):
+        raise RuntimeError("Could not connect to coordinator at 10.0.0.1:1234")
+
+    monkeypatch.setattr(_jax.distributed, "initialize", fake_bad)
+    with pytest.raises(RuntimeError, match="coordinator"):
+        parallel.multihost_init("10.0.0.1:1234", 2, 1)
+
+    def fake_valueerror(**kw):
+        raise ValueError("process_id 7 out of range for num_processes 2")
+
+    monkeypatch.setattr(_jax.distributed, "initialize", fake_valueerror)
+    with pytest.raises(ValueError, match="process_id"):
+        parallel.multihost_init("10.0.0.1:1234", 2, 7)
