@@ -44,13 +44,23 @@ def run_batches(
     """
     events = events or EventDispatcher(enabled=False)
     expect_rate = expect_rate or graph.input_rate
+    from .parallel import mask_lanes
+
+    # failed/padded lanes are zeroed ON DEVICE (parallel.mask_lanes) inside
+    # the same program, so garbage from a bad decode can never reach a sink
+    # even before the host-side valid filter; the mask shards with the batch
+    def _masked(x, valid):
+        return mask_lanes(graph.chain(x), valid)[0]
+
     if mesh is not None:
         from .parallel import batch_sharding
 
-        fn = jax.jit(graph.chain, in_shardings=(batch_sharding(mesh, 2),))
+        fn = jax.jit(
+            _masked, in_shardings=(batch_sharding(mesh, 2), batch_sharding(mesh, 1))
+        )
         n_dev = int(mesh.devices.size)
     else:
-        fn = jax.jit(graph.chain)
+        fn = jax.jit(_masked)
         n_dev = 1
 
     m = RunMetrics(n_devices=n_dev)
@@ -86,21 +96,29 @@ def run_batches(
                     "masking %d lanes with sample rate != %d", int(bad_rate.sum()), expect_rate
                 )
                 batch.valid &= ~bad_rate
+            vmask = np.zeros(x.shape[0], dtype=bool)
+            vmask[: len(batch.paths)] = batch.valid
             if mesh is not None:
                 from .parallel import pad_batch, shard_batch
 
                 x, pad_mask = pad_batch(x, mesh)
+                if len(vmask) != len(pad_mask):
+                    vmask = np.concatenate(
+                        [vmask, np.zeros(len(pad_mask) - len(vmask), dtype=bool)]
+                    )
                 xd = shard_batch(x, mesh)
+                vd = shard_batch(vmask, mesh)
             else:
                 xd = jnp.asarray(x)
+                vd = jnp.asarray(vmask)
             if first:
                 # compile separately from execution so subtracting
                 # compile_seconds from the wall never hides real compute
                 with Timer() as tc:
-                    fn = fn.lower(xd).compile()
+                    fn = fn.lower(xd, vd).compile()
                 m.compile_seconds = tc.elapsed
                 first = False
-            out = fn(xd)  # async dispatch; overlaps with the next decode
+            out = fn(xd, vd)  # async dispatch; overlaps with the next decode
             if pending is not None:
                 _flush(pending)
             pending = (out[: len(batch.paths)], batch)
