@@ -1,20 +1,59 @@
-"""Host I/O: WAV codec (numpy + native C++), batch loading, prefetch.
+"""Host I/O: WAV + FLAC codecs (numpy + native C++), batch loading, prefetch.
 
 The decode boundary replaces the reference's OS-audio-thread/ring-buffer
 handoff (capture.rs) as the framework's ingress (SURVEY §3.2).
 """
 
-from . import native, wav
+from __future__ import annotations
+
+import os
+
+from . import flac, native, wav
+from .flac import read_flac, write_flac
 from .loader import BatchLoader, DecodedBatch, decode_batch
 from .wav import probe, read_wav, write_wav
+
+
+def probe_audio(buf: bytes):
+    """Container-dispatched probe: WavInfo or FlacInfo by magic bytes."""
+    if buf[:4] == flac.MAGIC:
+        return flac.probe(buf)
+    return wav.probe(buf)
+
+
+def read_audio(src: "str | os.PathLike | bytes"):
+    """Decode WAV or FLAC (path or raw bytes) to float32 in [-1, 1].
+
+    Returns (samples ``[n]`` mono or ``[n, ch]``, sample_rate). Dispatches
+    on the container magic, so callers never care which codec a file uses.
+    """
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        buf = bytes(src)
+    else:
+        from ..errors import ErrorCode, IOError_
+
+        try:
+            with open(src, "rb") as f:
+                buf = f.read()
+        except FileNotFoundError:
+            raise IOError_(f"file not found: {src}", code=ErrorCode.FILE_NOT_FOUND) from None
+    if buf[:4] == flac.MAGIC:
+        return read_flac(buf)
+    return read_wav(buf)
+
 
 __all__ = [
     "BatchLoader",
     "DecodedBatch",
     "decode_batch",
+    "flac",
     "native",
     "probe",
+    "probe_audio",
+    "read_audio",
+    "read_flac",
     "read_wav",
     "wav",
+    "write_flac",
     "write_wav",
 ]

@@ -42,7 +42,7 @@ class DecodedBatch:
 def decode_batch(
     sources: Sequence, pad_multiple: int = 128, stride: int | None = None, use_native: bool = True
 ) -> DecodedBatch:
-    """Decode a list of WAV paths/byte-buffers into a padded mono batch.
+    """Decode a list of WAV/FLAC paths/byte-buffers into a padded mono batch.
 
     A failing file zeroes its lane and flips ``valid`` — the batch always
     survives (SURVEY §5.3 per-lane error isolation).
@@ -60,10 +60,12 @@ def decode_batch(
                 buffers.append(b"")  # poisoned lane
 
     if stride is None:
+        from . import probe_audio
+
         max_frames = 1
         for b in buffers:
             try:
-                max_frames = max(max_frames, wav.probe(b).n_frames)
+                max_frames = max(max_frames, probe_audio(b).n_frames)
             except IOError_:
                 pass
         stride = round_up(int(max_frames), pad_multiple)
@@ -80,9 +82,11 @@ def decode_batch(
     lengths = np.zeros(n, dtype=np.int64)
     rates = np.zeros(n, dtype=np.int32)
     valid = np.zeros(n, dtype=bool)
+    from . import read_audio
+
     for i, b in enumerate(buffers):
         try:
-            data, rate = wav.read_wav(b)
+            data, rate = read_audio(b)
         except IOError_:
             continue
         if data.ndim == 2:

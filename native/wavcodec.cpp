@@ -151,10 +151,25 @@ int64_t decode_mono(const uint8_t* buf, int64_t len, const WavInfo& w, float* ds
 
 }  // namespace
 
+#include "flaccodec.inc"
+
+namespace {
+// format tag reported for FLAC containers (outside the WAVE tag space)
+constexpr int32_t FMT_FLAC = 0xF1AC;
+}  // namespace
+
 extern "C" {
 
 int afw_probe(const uint8_t* buf, int64_t len, int32_t* rate, int32_t* channels,
               int32_t* bits, int32_t* fmt, int64_t* n_frames, int64_t* data_offset) {
+  if (flac::is_flac(buf, len)) {
+    flac::Info fi;
+    int rc = flac::probe(buf, len, &fi);
+    if (rc != 0) return rc;
+    *rate = fi.rate; *channels = fi.channels; *bits = fi.bits; *fmt = FMT_FLAC;
+    *n_frames = fi.n_frames; *data_offset = fi.frames_offset;
+    return 0;
+  }
   WavInfo w;
   int rc = probe(buf, len, &w);
   if (rc != 0) return rc;
@@ -181,12 +196,24 @@ int afw_decode_batch_mono(const uint8_t** bufs, const int64_t* lens, int32_t nfi
       if (b >= nfiles) break;
       float* dst = out + (int64_t)b * stride;
       std::memset(dst, 0, sizeof(float) * stride);
+      const uint8_t* p = bufs[b];
+      if (flac::is_flac(p, lens[b])) {
+        flac::Info fi;
+        if (flac::probe(p, lens[b], &fi) != 0) {
+          out_frames[b] = -1; rates[b] = 0;
+          continue;
+        }
+        int64_t n = flac::decode_mono(p, lens[b], fi, dst, stride);
+        if (n < 0) std::memset(dst, 0, sizeof(float) * stride);
+        out_frames[b] = n; rates[b] = n < 0 ? 0 : fi.rate;
+        continue;
+      }
       WavInfo w;
-      if (probe(bufs[b], lens[b], &w) != 0) {
+      if (probe(p, lens[b], &w) != 0) {
         out_frames[b] = -1; rates[b] = 0;
         continue;
       }
-      int64_t n = decode_mono(bufs[b], lens[b], w, dst, stride);
+      int64_t n = decode_mono(p, lens[b], w, dst, stride);
       out_frames[b] = n; rates[b] = w.rate;
     }
   };
