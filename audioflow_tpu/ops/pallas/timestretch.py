@@ -67,9 +67,11 @@ except Exception:  # pragma: no cover
 
 _ROWS = 8  # batch rows folded per kernel instance (Mosaic sublane granularity)
 _MAX_SHIFTS = 24  # selection-pass budget; larger sets fall back to XLA
-# Mosaic dots support DEFAULT (bf16 1-pass) and HIGHEST (bf16x6) only;
-# "high" maps to HIGHEST here (the XLA-path meaning doesn't exist in-kernel)
-_PRECISIONS = {"default": "DEFAULT", "high": "HIGHEST", "highest": "HIGHEST"}
+# Mosaic dots natively support DEFAULT (bf16 1-pass) and HIGHEST (bf16x6);
+# "high" is implemented manually as the classic 3-pass hi/lo split
+# (a_hi*b_hi + a_hi*b_lo + a_lo*b_hi with f32 accumulation) — the same
+# arithmetic XLA's Precision.HIGH lowers to, at half the HIGHEST cost.
+_PRECISIONS = ("default", "high", "highest")
 
 
 @dataclass(frozen=True)
@@ -216,13 +218,30 @@ def _kernel(
     *, plan: _Plan, hop, n_fft, n_bins, precision, interpret,
 ):
     t = pl.program_id(1)
-    prec = getattr(jax.lax.Precision, _PRECISIONS[precision])
 
-    def dot(a, b):
+    def _raw_dot(a, b, prec):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
             precision=prec, preferred_element_type=jnp.float32,
         )
+
+    if precision == "high":  # manual bf16x3: hi/lo split, f32 accumulation
+        def dot(a, b):
+            a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+            a_lo = a - a_hi
+            b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+            b_lo = b - b_hi
+            d = jax.lax.Precision.DEFAULT
+            return (
+                _raw_dot(a_hi, b_hi, d) + _raw_dot(a_hi, b_lo, d) + _raw_dot(a_lo, b_hi, d)
+            )
+    else:
+        _prec = (
+            jax.lax.Precision.DEFAULT if precision == "default" else jax.lax.Precision.HIGHEST
+        )
+
+        def dot(a, b):
+            return _raw_dot(a, b, _prec)
 
     k, ft_pad, tile = plan.k, plan.ft_pad, plan.tile
     sig = sig_ref[0]  # [ROWS, n_rows, hop]

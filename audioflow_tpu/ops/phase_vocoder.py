@@ -116,10 +116,15 @@ def time_stretch(
         from ._mm import get_default_matmul_precision
         from .pallas.timestretch import time_stretch_pallas
 
-        return time_stretch_pallas(
-            x, rate, n_fft, hop, window,
-            precision=precision or get_default_matmul_precision(),
-        )
+        # per-op default caps the framework-wide HIGHEST down to HIGH: the
+        # vocoder is a resynthesis (its validate gate budget is 6e-3 relative
+        # vs the XLA path; bf16x3 DFT error is orders below that), and the
+        # in-kernel bf16x6 dots are the single largest cost after the VPU
+        # stages. An explicitly lowered global or per-call override wins.
+        if precision is None:
+            g = get_default_matmul_precision()
+            precision = "high" if g == "highest" else g
+        return time_stretch_pallas(x, rate, n_fft, hop, window, precision=precision)
     spec = stft(x, n_fft=n_fft, hop=hop, window=window, impl=impl, precision=precision)
     out = phase_vocoder(spec, rate, hop, n_fft)
     length = int(round(x.shape[-1] / rate))

@@ -179,8 +179,32 @@ def make_plan(
     return ResamplePlan(L, M, offset, g, ipb, k_taps, w)
 
 
+_RESAMPLE_PRECISION = "high"
+
+
+def _resolve_precision(precision: str | None) -> str:
+    """Effective MXU precision for the band matmul.
+
+    Unlike the log-mel path (where bf16x3 costs ~1.2e-4 on log values — over
+    the 1e-4 budget — because log amplifies the relative error of small mel
+    bins), the resample FIR is a 97-tap dot of bounded coefficients:
+    measured max|delta| vs the float64 oracle is 7.6e-6 at HIGH (bf16x3) vs
+    5.5e-7 at HIGHEST (bf16x6) — 13x inside the budget for half the MXU
+    passes. So the per-op default caps the framework-wide HIGHEST down to
+    HIGH, while still honoring an explicitly *lowered* global
+    (``--precision high/default``) and any explicit per-call override.
+    """
+    if precision is not None:
+        return precision
+    from ._mm import get_default_matmul_precision
+
+    g = get_default_matmul_precision()
+    return _RESAMPLE_PRECISION if g == "highest" else g
+
+
 def _banded_matmul(
-    x: jnp.ndarray, w: jnp.ndarray, n_blocks: int, ipb: int, dtype
+    x: jnp.ndarray, w: jnp.ndarray, n_blocks: int, ipb: int, dtype,
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Compute ``windows(x) @ w`` without materializing the windows.
 
@@ -201,12 +225,17 @@ def _banded_matmul(
     for j0 in range(0, width, ipb):
         w_j = min(ipb, width - j0)
         seg = x[..., j0 : j0 + n_blocks * ipb].reshape(*x.shape[:-1], n_blocks, ipb)
-        part = mm(seg[..., :w_j], w[j0 : j0 + w_j])
+        part = mm(seg[..., :w_j], w[j0 : j0 + w_j], precision=_resolve_precision(precision))
         y = part if y is None else y + part
     return y
 
 
-def resample_apply(x: jnp.ndarray, plan: ResamplePlan, n_out: int | None = None) -> jnp.ndarray:
+def resample_apply(
+    x: jnp.ndarray,
+    plan: ResamplePlan,
+    n_out: int | None = None,
+    precision: str | None = None,
+) -> jnp.ndarray:
     """Resample ``x [..., T]`` with a prebuilt plan. Tail is zero-padded
     (matches BatchResampler::flush, resampler.rs:150-166)."""
     t = x.shape[-1]
@@ -218,7 +247,7 @@ def resample_apply(x: jnp.ndarray, plan: ResamplePlan, n_out: int | None = None)
         x = jnp.pad(x, pads)
     n_blocks = cdiv(n_out, plan.block_out)
     dt = x.dtype if x.dtype != jnp.float64 else jnp.float32
-    y = _banded_matmul(x, plan.matrix, n_blocks, plan.ipb, dt)
+    y = _banded_matmul(x, plan.matrix, n_blocks, plan.ipb, dt, precision)
     y = y.reshape(*y.shape[:-2], n_blocks * plan.block_out)
     return y[..., :n_out].astype(x.dtype)
 
@@ -317,7 +346,10 @@ def resample_stream_init(plan: StreamResamplePlan, lead_shape=(), dtype=jnp.floa
 
 
 def resample_stream_step(
-    plan: StreamResamplePlan, carry: jnp.ndarray, chunk: jnp.ndarray
+    plan: StreamResamplePlan,
+    carry: jnp.ndarray,
+    chunk: jnp.ndarray,
+    precision: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One streaming step: ``chunk [..., chunk_in]`` -> ``[..., n_out_chunk]``."""
     if chunk.shape[-1] != plan.chunk_in:
@@ -325,7 +357,7 @@ def resample_stream_step(
     buf = jnp.concatenate([carry, chunk], axis=-1)
     n_blocks = plan.n_out_chunk // plan.block_out
     dt = buf.dtype if buf.dtype != jnp.float64 else jnp.float32
-    y = _banded_matmul(buf, plan.matrix, n_blocks, plan.ipb, dt)
+    y = _banded_matmul(buf, plan.matrix, n_blocks, plan.ipb, dt, precision)
     y = y.reshape(*buf.shape[:-1], plan.n_out_chunk).astype(chunk.dtype)
     new_carry = buf[..., buf.shape[-1] - plan.hist :] if plan.hist else carry
     return new_carry, y
@@ -344,4 +376,7 @@ def resample(
     """
     if input_rate == output_rate:
         return x
-    return resample_apply(x, make_plan(input_rate, output_rate, mode, **kwargs))
+    precision = kwargs.pop("precision", None)
+    return resample_apply(
+        x, make_plan(input_rate, output_rate, mode, **kwargs), precision=precision
+    )
