@@ -13,6 +13,13 @@ n_mels % 8 == 0 and frames padded to tile multiples (handled by the wrapper).
 
 VMEM budget at n_fft=1024, n_mels=128: banks 2*2.1 MB + mel 0.26 MB +
 signal tile 0.13 MB + frames 0.5 MB + 2 temps 0.5 MB ~= 6 MB of ~16 MB.
+
+Status: measured SLOWER than the XLA pipeline on v5e (98.8k vs 112k x
+realtime, BENCHMARKS.md) — XLA's own fusion already keeps this op's
+intermediates cache-resident at these shapes, so the kernel is kept as a
+benchmarked experiment, not a default. The Pallas kernel that IS shipped
+as a default is the fused time-stretch (ops/pallas/timestretch.py), where
+five HBM-bound XLA stages genuinely collapse into one VMEM-resident pass.
 """
 
 from __future__ import annotations

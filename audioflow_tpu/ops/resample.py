@@ -179,27 +179,22 @@ def make_plan(
     return ResamplePlan(L, M, offset, g, ipb, k_taps, w)
 
 
-_RESAMPLE_PRECISION = "high"
-
-
 def _resolve_precision(precision: str | None) -> str:
     """Effective MXU precision for the band matmul.
 
-    Unlike the log-mel path (where bf16x3 costs ~1.2e-4 on log values — over
-    the 1e-4 budget — because log amplifies the relative error of small mel
-    bins), the resample FIR is a 97-tap dot of bounded coefficients:
-    measured max|delta| vs the float64 oracle is 7.6e-6 at HIGH (bf16x3) vs
-    5.5e-7 at HIGHEST (bf16x6) — 13x inside the budget for half the MXU
-    passes. So the per-op default caps the framework-wide HIGHEST down to
-    HIGH, while still honoring an explicitly *lowered* global
-    (``--precision high/default``) and any explicit per-call override.
+    Default = the framework-wide setting (HIGHEST). A per-op HIGH cap was
+    measured and REJECTED: the op is locality-bound, not flop-bound —
+    on-chip batch-256 44.1k->16k runs 18.2 ms at HIGHEST vs 17.5 ms at HIGH
+    (4%), while the on-chip validate error vs the float64 oracle grows
+    4.0e-7 -> 6.6e-5 (164x of margin inside the 1e-4 budget). Callers who
+    want the speed mode pass ``precision="high"`` explicitly (error budgets
+    in docs/DESIGN.md §6b).
     """
     if precision is not None:
         return precision
     from ._mm import get_default_matmul_precision
 
-    g = get_default_matmul_precision()
-    return _RESAMPLE_PRECISION if g == "highest" else g
+    return get_default_matmul_precision()
 
 
 def _banded_matmul(
@@ -247,9 +242,51 @@ def resample_apply(
         x = jnp.pad(x, pads)
     n_blocks = cdiv(n_out, plan.block_out)
     dt = x.dtype if x.dtype != jnp.float64 else jnp.float32
-    y = _banded_matmul(x, plan.matrix, n_blocks, plan.ipb, dt, precision)
-    y = y.reshape(*y.shape[:-2], n_blocks * plan.block_out)
+    # Long signals: run the SAME band matmul block-by-block inside lax.scan.
+    # The one-shot matmul over [.., n_blocks, ipb] windows is locality-bound
+    # on TPU, not flop-bound (measured batch-256 44.1k->16k: 18.2 ms at
+    # HIGHEST vs 12.7 ms even at bf16 1-pass — a 6x precision swing moves it
+    # 1.4x). Chunked-scan processing keeps each step's shifted-window
+    # relayout and matmul cache-resident, the same effect that makes the
+    # streaming graph mode beat the offline program (BENCHMARKS.md).
+    blocks_per_step = max(1, 8192 // plan.ipb)
+    if n_blocks > 2 * blocks_per_step:
+        y = _banded_matmul_scan(
+            x, plan.matrix, n_blocks, plan.ipb, dt, precision, blocks_per_step
+        )
+    else:
+        y = _banded_matmul(x, plan.matrix, n_blocks, plan.ipb, dt, precision)
+        y = y.reshape(*y.shape[:-2], n_blocks * plan.block_out)
     return y[..., :n_out].astype(x.dtype)
+
+
+def _banded_matmul_scan(
+    x: jnp.ndarray, w: np.ndarray, n_blocks: int, ipb: int, dtype,
+    precision: str | None, blocks_per_step: int,
+) -> jnp.ndarray:
+    """Chunked-scan form of :func:`_banded_matmul` (see resample_apply)."""
+    import jax
+
+    width = w.shape[0]
+    g = w.shape[1]
+    n_steps = cdiv(n_blocks, blocks_per_step)
+    step_in = blocks_per_step * ipb
+    need = n_steps * step_in + width
+    t = x.shape[-1]
+    if t < need:
+        pads = [(0, 0)] * (x.ndim - 1) + [(0, need - t)]
+        x = jnp.pad(x, pads)
+    wd = jnp.asarray(w, dtype)
+
+    def body(_, i):
+        seg = jax.lax.dynamic_slice_in_dim(x, i * step_in, step_in + width, axis=-1)
+        y = _banded_matmul(seg, wd, blocks_per_step, ipb, dtype, precision)
+        return None, y  # [..., blocks_per_step, g]
+
+    _, ys = jax.lax.scan(body, None, jnp.arange(n_steps, dtype=jnp.int32))
+    lead = ys.shape[1:-2]
+    ys = jnp.moveaxis(ys, 0, len(lead))  # [..., n_steps, bps, g]
+    return ys.reshape(*lead, n_steps * blocks_per_step * g)
 
 
 # --------------------------------------------------------------------------

@@ -140,7 +140,11 @@ def run_validation(seed: int = 0) -> dict:
         ref = np.asarray(
             jax.jit(lambda z: ops.time_stretch(z, 1.25, impl="matmul"))(jnp.asarray(xs))
         )
-        got = np.asarray(_ts_pallas(jnp.asarray(xs), 1.25, interpret=not on_tpu))
+        # gate the precision the auto path actually dispatches ("high": the
+        # in-kernel 3-pass hi/lo split), not the slowest mode
+        got = np.asarray(
+            _ts_pallas(jnp.asarray(xs), 1.25, precision="high", interpret=not on_tpu)
+        )
         n = ref.shape[-1] - 1024  # tail convention differs (documented)
         rel = float(np.abs(ref[:n] - got[:n]).max() / max(np.abs(ref).max(), 1e-9))
         report["pvoc_pallas_vs_xla_rel"] = rel
