@@ -31,7 +31,9 @@ def _measure(graph_fn, x, audio_seconds, iters=8, sharded=False):
         fn = compile_sharded(graph_fn, mesh)
         n_dev = mesh.devices.size
     else:
-        fn = jax.jit(graph_fn.chain) if hasattr(graph_fn, "chain") else jax.jit(graph_fn)
+        # Graph.compile auto-chunks long signals (scan over cache-sized
+        # chunks, ~30% on TPU); callables are jitted directly
+        fn = graph_fn.compile() if hasattr(graph_fn, "compile") else jax.jit(graph_fn)
         x = jnp.asarray(x)
         n_dev = 1
     m = measure_throughput(fn, x, audio_seconds, iters=iters)

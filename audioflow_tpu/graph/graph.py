@@ -83,15 +83,73 @@ class Graph:
     def __call__(self, x):
         return self.chain(x)
 
-    def compile(self, donate: bool = False, taps: tuple[int, ...] = ()) -> Callable:
-        """One jitted program for the whole chain (optionally with taps)."""
+    # auto-chunk threshold: below this many input samples the whole-array
+    # program is fine; above it, per-stage [batch, T]-sized intermediates
+    # blow past cache and the chunked form wins ~30% (BENCHMARKS.md)
+    _CHUNKED_MIN_T = 65536
+
+    def compile(
+        self,
+        donate: bool = False,
+        taps: tuple[int, ...] = (),
+        chunked: bool | str = "auto",
+    ) -> Callable:
+        """One jitted program for the whole chain (optionally with taps).
+
+        ``chunked`` — long-signal execution strategy. The whole-array
+        program materializes every node's [batch, T]-sized intermediate in
+        HBM between stages; running the SAME chain as a ``lax.scan`` over
+        fixed chunks keeps each step cache-resident and measures ~30% faster
+        on TPU (the streaming-mode effect, BENCHMARKS.md), while the
+        delay-alignment machinery makes the result equal to the whole-array
+        program to f32 reassociation noise. ``"auto"`` (default) picks the
+        chunked form when the graph is streamable, untapped, and the input
+        is long; ``True``/``False`` force it.
+        """
         donate_args = (0,) if donate else ()
         if taps:
             bad = [i for i in taps if not 0 <= i < len(self.nodes)]
             if bad:
                 raise ConfigError(f"tap indices out of range: {bad}")
             return jax.jit(lambda x: self.chain(x, taps=tuple(taps)), donate_argnums=donate_args)
-        return jax.jit(self.chain, donate_argnums=donate_args)
+        if chunked is False:
+            return jax.jit(self.chain, donate_argnums=donate_args)
+        if chunked is True:
+            self._check_streamable()
+
+        def run(x):
+            use = self.streamable and (
+                chunked is True or x.shape[-1] >= self._CHUNKED_MIN_T
+            )
+            return self._chunked_chain(x) if use else self.chain(x)
+
+        return jax.jit(run, donate_argnums=donate_args)
+
+    def _chunked_chain(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Offline semantics via the streaming machinery (see compile)."""
+        t = x.shape[-1]
+        out_spec = jax.eval_shape(self.chain, x)
+        domain = "samples"
+        for n in self.nodes:
+            if n.domain_out != "any":
+                domain = n.domain_out
+        axis = (-2 if domain == "frames" else -1) % len(out_spec.shape)
+        n_out = out_spec.shape[axis]
+        gran = self.chunk_granularity()
+        chunk = gran * max(1, 16384 // gran)
+        lat = self.stream_latency(chunk)
+        m = self.chunk_lens(chunk)[-1]
+        # enough zero-padded chunks that the trimmed window [lat, lat+n_out)
+        # is fully produced
+        n_chunks = -(-(t) // chunk)
+        while n_chunks * m < lat + n_out:
+            n_chunks += 1
+        pad = n_chunks * chunk - t
+        if pad:
+            widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+            x = jnp.pad(x, widths)
+        streamed = self.scan_stream(x, chunk)
+        return jax.lax.slice_in_dim(streamed, lat, lat + n_out, axis=axis)
 
     def inspect(self, input_shape: tuple, dtype=jnp.float32) -> dict:
         """Compile-time introspection of the single-program graph.

@@ -290,6 +290,10 @@ class Stft(Node):
     def chunk_multiple(self):
         return self.hop
 
+    @property
+    def streamable(self):  # center-padding needs the whole signal
+        return not self.center
+
     def validate_chunk(self, n_in):
         super().validate_chunk(n_in)
         if self.center:
@@ -345,6 +349,10 @@ class Spectrogram(Node):
 
     def chunk_multiple(self):
         return self.hop
+
+    @property
+    def streamable(self):  # center-padding needs the whole signal
+        return not self.center
 
     def validate_chunk(self, n_in):
         super().validate_chunk(n_in)

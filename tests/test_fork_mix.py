@@ -140,9 +140,14 @@ def test_fork_single_program_multi_output():
     assert out["wire"].dtype == jnp.int16
     assert out["features"].ndim == 2 and out["features"].shape[-1] == 64
     # trunk computed once: the jitted program contains a single resample
-    # matmul chain; verify against running branches separately
-    y = chain(Resample(sr, 16000, "kaiser"), input_rate=sr).compile()(x)
-    want_wire = chain(VadGate(frame_len=320), QuantizeI16(), input_rate=16000).compile()(y)
+    # matmul chain; verify against running branches separately. chunked=False
+    # pins the oracle to the same whole-array arithmetic Fork.chain uses —
+    # the auto-chunked path differs by f32 reassociation noise, which i16
+    # quantization would surface as off-by-one counts.
+    y = chain(Resample(sr, 16000, "kaiser"), input_rate=sr).compile(chunked=False)(x)
+    want_wire = chain(VadGate(frame_len=320), QuantizeI16(), input_rate=16000).compile(
+        chunked=False
+    )(y)
     np.testing.assert_array_equal(np.asarray(out["wire"]), np.asarray(want_wire))
 
 

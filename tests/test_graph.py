@@ -12,6 +12,7 @@ from audioflow_tpu.graph import (
     Graph,
     Istft,
     Limiter,
+    Magnitude,
     MelProject,
     Power,
     Resample,
@@ -241,7 +242,8 @@ def test_streaming_center_true_rejected():
     from audioflow_tpu.graph import Spectrogram
 
     g = chain(Stft(512, 128, center=True), input_rate=16000)
-    with pytest.raises(AudioError, match="center=False"):
+    assert not g.streamable  # center=True nodes now report it up front
+    with pytest.raises(AudioError, match="not streamable"):
         g.init_state(1024)
     g2 = chain(Spectrogram(512, 128, center=True), input_rate=16000)
     with pytest.raises(AudioError, match="center=False"):
@@ -338,3 +340,33 @@ def test_graph_inspect(rng):
     assert rep["fusions"] >= 1
     assert rep["collectives"] == 0
     assert rep["hlo_bytes"] > 1000
+
+
+def test_compile_chunked_equals_whole_array(rng):
+    """compile(chunked=...) — the offline API riding the streaming machinery
+    — returns the whole-array program's result to f32 reassociation noise,
+    including non-chunk-multiple lengths and frames-domain outputs."""
+    from audioflow_tpu.models import log_mel_frontend
+
+    g = log_mel_frontend(44100, 16000, 1024, 256, 64)
+    x = (0.3 * rng.standard_normal(44100 * 2 + 1234)).astype(np.float32)
+    off = np.asarray(g.compile(chunked=False)(jnp.asarray(x)))
+    ch = np.asarray(g.compile(chunked=True)(jnp.asarray(x)))
+    assert off.shape == ch.shape
+    np.testing.assert_allclose(ch, off, atol=5e-5 * float(np.abs(off).max()))
+    # batched auto path above the threshold picks chunked and stays equal
+    xb = (0.3 * rng.standard_normal((3, 44100 * 2)).astype(np.float32))
+    off_b = np.asarray(g.compile(chunked=False)(jnp.asarray(xb)))
+    auto_b = np.asarray(g.compile()(jnp.asarray(xb)))
+    np.testing.assert_allclose(auto_b, off_b, atol=5e-5 * float(np.abs(off_b).max()))
+
+
+def test_compile_chunked_falls_back_for_unstreamable(rng):
+    g = chain(Stft(1024, 256, center=True), Magnitude(), input_rate=16000)
+    assert not g.streamable  # center=True cannot stream
+    x = (0.3 * rng.standard_normal(100000)).astype(np.float32)
+    out = np.asarray(g.compile()(jnp.asarray(x)))  # auto: whole-array path
+    ref = np.asarray(g.compile(chunked=False)(jnp.asarray(x)))
+    np.testing.assert_array_equal(out, ref)
+    with pytest.raises(AudioError):
+        g.compile(chunked=True)  # forcing it on an unstreamable graph raises
