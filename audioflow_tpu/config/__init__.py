@@ -17,6 +17,8 @@ from .schema import (
     ObsConfig,
     SessionConfig,
     UserConfig,
+    fork_from_spec,
+    fork_to_spec,
     graph_from_spec,
     graph_to_spec,
 )
@@ -38,6 +40,8 @@ __all__ = [
     "default_config_path",
     "dumps_toml",
     "loads_toml",
+    "fork_from_spec",
+    "fork_to_spec",
     "graph_from_spec",
     "graph_to_spec",
 ]

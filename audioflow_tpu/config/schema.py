@@ -181,3 +181,28 @@ def graph_from_spec(spec: GraphSpec | dict) -> Graph:
                 f"bad fields for node {tname}: {e}", code=ErrorCode.CONFIG_VALIDATION_ERROR
             ) from None
     return Graph(tuple(nodes), input_rate=spec.input_rate, name=spec.name)
+
+
+def fork_to_spec(f) -> dict:
+    """Serialize a :class:`audioflow_tpu.graph.Fork` to a JSON-ready dict:
+    ``{"trunk": GraphSpec-dict, "branches": {name: GraphSpec-dict}, "name"}``."""
+    return {
+        "name": f.name,
+        "trunk": dataclasses.asdict(graph_to_spec(f.trunk)),
+        "branches": {k: dataclasses.asdict(graph_to_spec(g)) for k, g in f.branches},
+    }
+
+
+def fork_from_spec(spec: dict):
+    """Rebuild a Fork from :func:`fork_to_spec`'s dict."""
+    from ..graph import Fork
+
+    missing = {"trunk", "branches"} - set(spec)
+    if missing:
+        raise ConfigError(
+            f"fork spec missing sections: {sorted(missing)}",
+            code=ErrorCode.CONFIG_VALIDATION_ERROR,
+        )
+    trunk = graph_from_spec(spec["trunk"])
+    branches = tuple((k, graph_from_spec(v)) for k, v in spec["branches"].items())
+    return Fork(trunk, branches, name=spec.get("name", "fork"))

@@ -207,3 +207,26 @@ def test_fork_vad_states_and_features_shared_trunk():
     states = np.asarray(out["vad"])
     assert states.shape == (50,) and (states == 1).any()
     assert out["mel"].shape[-1] == 40
+
+
+def test_fork_spec_roundtrip():
+    """Fork serializes through the config layer like Graphs do."""
+    import json
+
+    from audioflow_tpu.config import fork_from_spec, fork_to_spec
+
+    f = _fork_graph(48000)
+    spec = json.loads(json.dumps(fork_to_spec(f)))  # JSON-clean
+    f2 = fork_from_spec(spec)
+    assert f2.name == f.name
+    assert [k for k, _ in f2.branches] == [k for k, _ in f.branches]
+    x = jnp.asarray(_sig(sr=48000))
+    a = f.compile()(x)
+    b = f2.compile()(x)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    from audioflow_tpu.errors import ConfigError
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError):
+        fork_from_spec({"trunk": spec["trunk"]})  # missing branches

@@ -174,3 +174,31 @@ def test_multihost_init_honest_error_handling(monkeypatch):
     monkeypatch.setattr(_jax.distributed, "initialize", fake_valueerror)
     with pytest.raises(ValueError, match="process_id"):
         parallel.multihost_init("10.0.0.1:1234", 2, 7)
+
+
+def test_fork_shards_with_zero_collectives():
+    """A Fork (multi-branch DAG) compiles over the DP mesh with no
+    collectives on the hot path — branch outputs shard like the batch."""
+    import jax
+
+    from audioflow_tpu.graph import Resample, Spectrogram, VadGate, chain, fork
+    from audioflow_tpu.parallel import batch_sharding, make_mesh, shard_batch
+
+    mesh = make_mesh()
+    f = fork(
+        chain(Resample(48000, 16000), input_rate=48000),
+        wire=chain(VadGate(frame_len=320)),
+        # matmul-DFT spectrogram: the XLA FFT op is not partitioned by GSPMD
+        # and would all-gather the batch (the documented sharding rule)
+        feats=chain(Spectrogram(512, 160, center=False, power=False)),
+    )
+    x = np.random.default_rng(0).standard_normal((16, 9600)).astype(np.float32)
+    xd = shard_batch(x, mesh)
+    fn = jax.jit(f.chain, in_shardings=(batch_sharding(mesh, 2),))
+    lowered = fn.lower(xd).compile()
+    hlo = lowered.as_text().lower()
+    for c in ("all-reduce(", "all-gather(", "reduce-scatter(", "collective-permute("):
+        assert c not in hlo, c
+    out = fn(xd)
+    assert out["wire"].shape == (16, 3200)
+    assert out["feats"].shape[0] == 16
