@@ -274,11 +274,11 @@ def cmd_run(args) -> int:
 
 
 def cmd_stream(args) -> int:
-    from .io import read_wav
+    from .io import read_audio
     from .session import StreamSession
 
     cfg = ConfigManager(args.config).load() if args.config else ConfigManager().current()
-    data, rate = read_wav(args.input)
+    data, rate = read_audio(args.input)
     if data.ndim == 2:
         data = data.mean(axis=1).astype(np.float32)
     g = _build_graph(args.graph, rate, cfg, streaming=True)
@@ -335,11 +335,11 @@ def cmd_egress(args) -> int:
     import jax.numpy as jnp
 
     from .graph import Resample, VadGate, chain
-    from .io import read_wav
+    from .io import read_audio
     from .session import ScribeConfig, ScribeSession
     from .sinks import WebSocketConfig
 
-    data, rate = read_wav(args.input)
+    data, rate = read_audio(args.input)
     if data.ndim == 2:
         data = data.mean(axis=1).astype(np.float32)
     nodes = []
@@ -388,10 +388,10 @@ def cmd_egress(args) -> int:
 
 
 def cmd_vad(args) -> int:
-    from .io import read_wav
+    from .io import read_audio
     from .models import vad_graph
 
-    data, rate = read_wav(args.input)
+    data, rate = read_audio(args.input)
     if data.ndim == 2:
         data = data.mean(axis=1)
     # --level (named preset) wins over --threshold-db; with neither given,
