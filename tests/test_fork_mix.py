@@ -230,3 +230,35 @@ def test_fork_spec_roundtrip():
 
     with _pytest.raises(ConfigError):
         fork_from_spec({"trunk": spec["trunk"]})  # missing branches
+
+
+def test_stream_session_over_fork(tmp_path):
+    """StreamSession drives a Fork directly: per-chunk Results carry the
+    {branch: array} dict (lazy tree-materialized), and snapshot/restore
+    round-trips the (trunk, branches, pending) state pytree."""
+    from audioflow_tpu.session import StreamSession
+
+    f = _fork_graph(48000)
+    chunk = f.chunk_granularity()
+    x = _sig(seconds=1.0, sr=48000)
+    n = (len(x) // (chunk * 4)) * chunk * 4
+    x = x[:n]
+
+    s = StreamSession(f, chunk_in=chunk).open()
+    s.push(x[: n // 2])
+    s.snapshot(str(tmp_path / "mid"))
+    s.push(x[n // 2 :])
+    want = s.poll_all()
+    s.close()
+    assert want and set(want[0].data) == {"wire", "features"}
+
+    s2 = StreamSession(f, chunk_in=chunk).restore(str(tmp_path / "mid"))
+    s2.poll_all()
+    s2.push(x[n // 2 :])
+    got = s2.poll_all()
+    s2.close()
+    tail = [r for r in want if r.index >= got[0].index]
+    assert len(got) == len(tail)
+    for a, b in zip(got, tail):
+        for k in a.data:
+            np.testing.assert_array_equal(a.data[k], b.data[k])
