@@ -113,6 +113,39 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
             m.n_devices = mesh.devices.size
         else:
             m = measure_throughput(fn, jnp.asarray(x), batch * t / rate, iters=4)
+    elif name == "session":
+        # live push-path throughput: StreamSession's device-ring + lazy
+        # results, one host dispatch chain per chunk. Dominated by this
+        # runtime's ~2 ms/dispatch-segment charge, so the number is a
+        # LATENCY-mode figure, not the batch headline (that's "streaming").
+        import time as _time
+
+        from .models import log_mel_frontend
+        from .session import StreamSession
+
+        batch = batch or 64
+        rate = 44100
+        g = log_mel_frontend(rate, 16000, 1024, 256, 128)
+        gran = g.chunk_granularity()
+        chunk = gran * max(1, 16384 // gran)
+        x = _tone_batch(batch, seconds, rate)
+        n = x.shape[-1] // chunk * chunk
+        sess = StreamSession(g, chunk_in=chunk, lead_shape=(batch,)).open()
+        sess.push(x[:, :chunk])  # compile + warm
+        sess.poll_all()
+        t0 = _time.perf_counter()
+        for i in range(chunk, n, chunk):
+            sess.push(x[:, i : i + chunk])
+        last = sess.poll_all()[-1]
+        np.asarray(last.data).sum()  # materialize the final chunk = sync
+        wall = _time.perf_counter() - t0
+        sess.close()
+        audio = batch * (n - chunk) / rate
+        from .obs.metrics import RunMetrics
+
+        m = RunMetrics(
+            audio_seconds=audio, wall_seconds=wall, batches=(n - chunk) // chunk,
+        )
     else:
         raise ValueError(f"unknown benchmark {name!r}")
     out = m.to_dict()

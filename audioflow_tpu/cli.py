@@ -430,7 +430,7 @@ def cmd_bench(args) -> int:
     from .obs import profile_trace
 
     names = (
-        ["stft", "logmel", "master", "pvoc", "streaming"]
+        ["stft", "logmel", "master", "pvoc", "streaming", "session"]
         if args.benchmark == "all"
         else [args.benchmark]
     )
