@@ -120,7 +120,6 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
         # LATENCY-mode figure, not the batch headline (that's "streaming").
         import time as _time
 
-        from .models import log_mel_frontend
         from .session import StreamSession
 
         batch = batch or 64
