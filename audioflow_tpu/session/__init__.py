@@ -114,8 +114,10 @@ class StreamSession:
             )
         self.chunk_in = chunk_in
         # device ring sizing: one reserved slot (capacity-1 usable) + room for
-        # the residual (< chunk_in) + the largest single push
-        self.ring_capacity = ring_capacity or (8 * chunk_in + 1)
+        # the residual (< chunk_in) + the largest single push. Kept small:
+        # each ring write/read rolls the whole buffer (ops/ring.py), so
+        # capacity is per-push device traffic, not just memory
+        self.ring_capacity = ring_capacity or (4 * chunk_in + 1)
         if self.ring_capacity < 2 * chunk_in + 1:
             raise SessionError(
                 f"ring_capacity {self.ring_capacity} < 2*chunk_in+1",
