@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -81,8 +82,13 @@ def ring_write(ring: Ring, data: jnp.ndarray, n=None) -> tuple[Ring, jnp.ndarray
     else:
         data = data[..., :cap]
     src = jnp.roll(data, ring.write_pos, axis=-1)
-    rel = (jnp.arange(cap, dtype=jnp.int32) - ring.write_pos) % cap
-    buf = jnp.where(rel < n_write, src, ring.buf)
+    # window membership WITHOUT an elementwise modulo: `% cap` over the
+    # buffer serialized on TPU (~6.7 s per write on a 64x65537 ring, vs ms
+    # for the rolls). rel in (-cap, cap); the wrapped part of the window is
+    # rel < 0 with rel + cap < n_write.
+    rel = jnp.arange(cap, dtype=jnp.int32) - ring.write_pos
+    take = jnp.where(rel >= 0, rel < n_write, rel + cap < n_write)
+    buf = jnp.where(take, src, ring.buf)
     return Ring(buf, ring.read_pos, (ring.write_pos + n_write) % cap), n_write
 
 
@@ -111,3 +117,58 @@ def ring_read(ring: Ring, size: int) -> tuple[Ring, jnp.ndarray, jnp.ndarray]:
 def ring_clear(ring: Ring) -> Ring:
     z = jnp.zeros((), jnp.int32)
     return Ring(ring.buf, z, z)
+
+
+# --------------------------------------------------------------------------
+# linear staging buffer — the session's measured-fast accumulator
+# --------------------------------------------------------------------------
+
+class Staging(NamedTuple):
+    """Device-resident linear accumulator: ``buf [..., size]`` + fill count.
+
+    The wrap-around Ring above is the capture.rs parity component; for the
+    hot session path its circular addressing is the wrong primitive on this
+    TPU runtime — measured per 16k-sample batch-64 push: ~300 ms as an
+    index scatter, 25.7 s (!) with an elementwise ``% cap``, 184 ms as
+    traced-shift rolls. A linear buffer needs ONE dynamic_update_slice per
+    push (write width = the padded piece, not the capacity) and one
+    static-slice + shift per drained chunk, with no wrap arithmetic at all
+    — the session never wraps because it drains every full chunk eagerly
+    (residual < chunk by invariant).
+    """
+
+    buf: jnp.ndarray  # [..., size]
+    count: jnp.ndarray  # i32 scalar — valid samples at the front
+
+
+def staging_init(size: int, lead_shape: tuple = (), dtype=jnp.float32) -> Staging:
+    return Staging(jnp.zeros((*lead_shape, size), dtype), jnp.zeros((), jnp.int32))
+
+
+def staging_push(st: Staging, data: jnp.ndarray, n=None) -> Staging:
+    """Append ``n`` (default full width) samples of ``data``.
+
+    Callers guarantee ``count + width <= size`` (the session's headroom
+    split), so the dynamic_update_slice start never clamps. Padding beyond
+    ``n`` lands in the buffer but is masked by the count on reads.
+    """
+    if n is None:
+        n = data.shape[-1]
+    starts = (jnp.zeros((), jnp.int32),) * (st.buf.ndim - 1) + (st.count,)
+    buf = jax.lax.dynamic_update_slice(st.buf, data.astype(st.buf.dtype), starts)
+    return Staging(buf, st.count + n)
+
+
+def staging_take(st: Staging, size: int) -> tuple[Staging, jnp.ndarray, jnp.ndarray]:
+    """Read up to ``size`` samples from the front (zero-padded past the
+    count, BatchResampler::flush semantics); shift the remainder down.
+
+    Returns (staging, values [..., size], n_read).
+    """
+    n_read = jnp.minimum(size, st.count)
+    mask = jnp.arange(size, dtype=jnp.int32) < n_read
+    vals = jnp.where(mask, st.buf[..., :size], 0)
+    # compact: drop the first `size` positions (static slice + zero tail)
+    widths = [(0, 0)] * (st.buf.ndim - 1) + [(0, min(size, st.buf.shape[-1]))]
+    shifted = jnp.pad(st.buf[..., size:], widths)
+    return Staging(shifted, jnp.maximum(st.count - n_read, 0)), vals, n_read

@@ -5,9 +5,12 @@ The TPU re-design of the reference's session layer
 PCM chunks, and polls typed transcript events with partial/committed
 semantics. Here the "service" is the jitted streaming graph on the chip:
 
-* ``push(samples)`` lands irregular host pushes in a **device-resident ring
-  buffer** (:mod:`audioflow_tpu.ops.ring` — the TPU equivalent of the
-  reference's capture ring, capture.rs:83-161) and processes every full
+* ``push(samples)`` lands irregular host pushes in a **device-resident
+  staging accumulator** (:class:`audioflow_tpu.ops.ring.Staging` — the
+  measured-fast linear form of the reference's capture ring,
+  capture.rs:83-161; the wrap-around :class:`~audioflow_tpu.ops.ring.Ring`
+  is the parity component, and its circular addressing benchmarked 40-100x
+  slower on this TPU runtime, see ops/ring.py) and processes every full
   chunk — the accumulate-and-chunk semantics of BatchResampler::process
   (resampler.rs:132-147). The chunk count is tracked host-side, so the whole
   push path is asynchronous dispatch: no readback, no host concatenation;
@@ -113,10 +116,8 @@ class StreamSession:
                 code=ErrorCode.SESSION_STATE_INVALID,
             )
         self.chunk_in = chunk_in
-        # device ring sizing: one reserved slot (capacity-1 usable) + room for
-        # the residual (< chunk_in) + the largest single push. Kept small:
-        # each ring write/read rolls the whole buffer (ops/ring.py), so
-        # capacity is per-push device traffic, not just memory
+        # staging sizing: room for the residual (< chunk_in) + the largest
+        # single push piece (the headroom); larger pushes are split
         self.ring_capacity = ring_capacity or (4 * chunk_in + 1)
         if self.ring_capacity < 2 * chunk_in + 1:
             raise SessionError(
@@ -149,10 +150,10 @@ class StreamSession:
 
         self._step = self.graph.compile_stream(donate=False)
         self._carry = self.graph.init_state(self.chunk_in, self.lead_shape, self.dtype)
-        self._ring = _ring.ring_init(self.ring_capacity, self.lead_shape, self.dtype)
+        self._stage = _ring.staging_init(self.ring_capacity, self.lead_shape, self.dtype)
         self._pending = 0
-        self._write = jax.jit(_ring.ring_write)
-        self._read = jax.jit(_ring.ring_read, static_argnums=(1,))
+        self._write = jax.jit(_ring.staging_push)
+        self._take = jax.jit(_ring.staging_take, static_argnums=(1,))
         self.state = SessionState.OPEN
         from .registry import REGISTRY
 
@@ -207,11 +208,11 @@ class StreamSession:
             if bucket > m:
                 widths = [(0, 0)] * (piece.ndim - 1) + [(0, bucket - m)]
                 piece = np.pad(piece, widths)
-            self._ring, _ = self._write(self._ring, jnp.asarray(piece, self.dtype), m)
+            self._stage = self._write(self._stage, jnp.asarray(piece, self.dtype), m)
             self._pending += m
             self._samples_in += m
             while self._pending >= self.chunk_in:
-                self._ring, chunk, _ = self._read(self._ring, self.chunk_in)
+                self._stage, chunk, _ = self._take(self._stage, self.chunk_in)
                 self._pending -= self.chunk_in
                 self._process(chunk, final=False)
                 done += 1
@@ -260,7 +261,7 @@ class StreamSession:
             )
         if self._pending == 0 and self._chunk_index > 0:
             return None
-        self._ring, chunk, _ = self._read(self._ring, self.chunk_in)
+        self._stage, chunk, _ = self._take(self._stage, self.chunk_in)
         self._pending = 0
         return self._process(chunk, final=True)
 
@@ -299,13 +300,13 @@ class StreamSession:
         """Persist carry + pending ring samples + counters (SURVEY §5.4).
 
         The pending (not yet chunk-complete) samples are read out of the
-        device ring into the flat ``__buffer`` array, so the on-disk format
-        is unchanged from the host-buffer era and restores anywhere."""
+        device staging buffer into the flat ``__buffer`` array, so the
+        on-disk format is unchanged from the host-buffer era and restores
+        anywhere."""
         leaves, treedef = jax.tree_util.tree_flatten(self._carry)
         arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
         if self._pending:
-            _, vals, _ = self._read(self._ring, self.chunk_in)
-            buffer = np.asarray(vals)[..., : self._pending]
+            buffer = np.asarray(self._stage.buf)[..., : self._pending]
         else:
             buffer = np.zeros((*self.lead_shape, 0), np.float32)
         path = self._snapshot_path(path)
@@ -327,11 +328,11 @@ class StreamSession:
         self._carry = jax.tree_util.tree_unflatten(treedef, restored)
         from ..ops import ring as _ring
 
-        self._ring = _ring.ring_init(self.ring_capacity, self.lead_shape, self.dtype)
+        self._stage = _ring.staging_init(self.ring_capacity, self.lead_shape, self.dtype)
         self._pending = 0
         buffer = data["__buffer"]
         if buffer.shape[-1]:
-            self._ring, _ = self._write(self._ring, jnp.asarray(buffer, self.dtype))
+            self._stage = self._write(self._stage, jnp.asarray(buffer, self.dtype), buffer.shape[-1])
             self._pending = int(buffer.shape[-1])
         self._chunk_index = int(data["__chunk_index"])
         self._samples_in = int(data["__samples_in"])

@@ -1,12 +1,13 @@
-"""StreamSession on the device ring (SURVEY §2.2 RingBuffer "TPU
-equivalent") + lazy-result async push (device/host overlap)."""
+"""StreamSession on the device staging accumulator (SURVEY §2.2 RingBuffer
+"TPU equivalent" — the linear form; ops/ring.py documents why circular
+addressing lost on this runtime) + lazy-result async push."""
 
 import numpy as np
 
 import jax.numpy as jnp
 
 from audioflow_tpu.graph import Gain, Resample, chain
-from audioflow_tpu.ops.ring import Ring
+from audioflow_tpu.ops.ring import Staging
 from audioflow_tpu.session import StreamSession
 
 
@@ -17,7 +18,7 @@ def _graph(sr=16000):
 def test_push_accumulates_in_device_ring_not_host():
     g = _graph()
     s = StreamSession(g, chunk_in=512).open()
-    assert isinstance(s._ring, Ring)  # the session path constructs a Ring
+    assert isinstance(s._stage, Staging)  # device-resident accumulator
     # irregular pushes; residual lives in the ring, counted host-side
     assert s.push(np.ones(300, np.float32)) == 0
     assert s._pending == 300
@@ -106,9 +107,9 @@ def test_ragged_pushes_compile_bounded_shape_buckets():
     s = StreamSession(g, chunk_in=512).open()
     orig, seen = s._write, set()
 
-    def spy(ring, data, n):
+    def spy(st, data, n):
         seen.add(data.shape)
-        return orig(ring, data, n)
+        return orig(st, data, n)
 
     s._write = spy
     rng = np.random.default_rng(0)
