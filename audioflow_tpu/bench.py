@@ -113,7 +113,7 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
             m.n_devices = mesh.devices.size
         else:
             m = measure_throughput(fn, jnp.asarray(x), batch * t / rate, iters=4)
-    elif name == "session":
+    elif name in ("session", "session_drain"):
         # live push-path throughput: StreamSession's device-ring + lazy
         # results, one host dispatch chain per chunk. Dominated by this
         # runtime's ~2 ms/dispatch-segment charge, so the number is a
@@ -128,22 +128,29 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
         gran = g.chunk_granularity()
         chunk = gran * max(1, 16384 // gran)
         x = _tone_batch(batch, seconds, rate)
-        n = x.shape[-1] // chunk * chunk
-        sess = StreamSession(g, chunk_in=chunk, lead_shape=(batch,)).open()
-        sess.push(x[:, :chunk])  # compile + warm
+        # session_drain: producer outpaces the consumer — push 8-chunk blocks
+        # so the bucketed lax.scan multi-step drains 8 chunks per dispatch
+        # (ROADMAP 4b; per-chunk Result semantics preserved)
+        block = 8 * chunk if name == "session_drain" else chunk
+        cap = 17 * chunk if name == "session_drain" else None
+        n = x.shape[-1] // block * block
+        sess = StreamSession(
+            g, chunk_in=chunk, lead_shape=(batch,), ring_capacity=cap
+        ).open()
+        sess.push(x[:, :block])  # compile + warm
         sess.poll_all()
         t0 = _time.perf_counter()
-        for i in range(chunk, n, chunk):
-            sess.push(x[:, i : i + chunk])
+        for i in range(block, n, block):
+            sess.push(x[:, i : i + block])
         last = sess.poll_all()[-1]
         np.asarray(last.data).sum()  # materialize the final chunk = sync
         wall = _time.perf_counter() - t0
         sess.close()
-        audio = batch * (n - chunk) / rate
+        audio = batch * (n - block) / rate
         from .obs.metrics import RunMetrics
 
         m = RunMetrics(
-            audio_seconds=audio, wall_seconds=wall, batches=(n - chunk) // chunk,
+            audio_seconds=audio, wall_seconds=wall, batches=(n - block) // chunk,
         )
     else:
         raise ValueError(f"unknown benchmark {name!r}")

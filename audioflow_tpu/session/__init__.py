@@ -57,6 +57,26 @@ class SessionState(enum.Enum):
     FAILED = "failed"
 
 
+class _Stacked:
+    """Shared lazy host view of one multi-chunk drain's scan output [b, ...].
+
+    All ``b`` Results produced by a single multi-step dispatch point here, so
+    the whole stacked output crosses the device->host boundary ONCE (first
+    access by any of them) instead of once per chunk."""
+
+    __slots__ = ("_raw", "_host")
+
+    def __init__(self, raw):
+        self._raw = raw
+        self._host = None
+
+    def fetch(self):
+        if self._host is None:
+            self._host = jax.tree_util.tree_map(np.asarray, self._raw)
+            self._raw = None
+        return self._host
+
+
 class Result:
     """Per-chunk output (partial) or end-of-stream output (final).
 
@@ -64,11 +84,21 @@ class Result:
     so producing results never blocks the push loop (device/host overlap;
     the offline runner's double-buffering analog for streaming)."""
 
-    __slots__ = ("_raw", "_host", "final", "index", "timestamp")
+    __slots__ = ("_raw", "_host", "_stacked", "_j", "final", "index", "timestamp")
 
-    def __init__(self, data, final: bool, index: int, timestamp: float | None = None):
+    def __init__(
+        self,
+        data,
+        final: bool,
+        index: int,
+        timestamp: float | None = None,
+        _stacked: _Stacked | None = None,
+        _j: int = 0,
+    ):
         self._raw = data
         self._host: np.ndarray | None = None
+        self._stacked = _stacked
+        self._j = _j
         self.final = final
         self.index = index
         self.timestamp = time.time() if timestamp is None else timestamp
@@ -76,9 +106,16 @@ class Result:
     @property
     def data(self) -> np.ndarray:
         if self._host is None:
-            # tree_map handles both bare arrays and Fork's {name: array} dicts
-            self._host = jax.tree_util.tree_map(np.asarray, self._raw)
-            self._raw = None
+            if self._stacked is not None:
+                # one shared fetch for the whole drained block, numpy views per chunk
+                self._host = jax.tree_util.tree_map(
+                    lambda a: a[self._j], self._stacked.fetch()
+                )
+                self._stacked = None
+            else:
+                # tree_map handles both bare arrays and Fork's {name: array} dicts
+                self._host = jax.tree_util.tree_map(np.asarray, self._raw)
+                self._raw = None
         return self._host
 
     @property
@@ -135,6 +172,16 @@ class StreamSession:
         self._step = None
         self._carry: Any = None
         self._ring = None
+        # multi-chunk drain: when >= 2 chunks sit in staging, they drain
+        # through ONE jitted lax.scan multi-step (bucketed to bounded shapes)
+        # — this runtime charges a large fixed cost per eager dispatch chain,
+        # so batching k chunks into one program amortizes it ~k-fold
+        # (BENCHMARKS.md live-session caveat). Buckets are capped by what the
+        # staging buffer can hold.
+        self._multi: dict[int, Any] = {}
+        self._drain_buckets = tuple(
+            b for b in (8, 4, 2) if b * self.chunk_in <= self.ring_capacity
+        )
         self._pending = 0  # unprocessed samples in the ring (host-tracked)
         self._results: queue.Queue[Result] = queue.Queue()
         self._chunk_index = 0
@@ -212,11 +259,52 @@ class StreamSession:
             self._pending += m
             self._samples_in += m
             while self._pending >= self.chunk_in:
-                self._stage, chunk, _ = self._take(self._stage, self.chunk_in)
-                self._pending -= self.chunk_in
-                self._process(chunk, final=False)
-                done += 1
+                k = self._pending // self.chunk_in
+                b = next((bb for bb in self._drain_buckets if bb <= k), 1)
+                if b == 1:
+                    self._stage, chunk, _ = self._take(self._stage, self.chunk_in)
+                    self._pending -= self.chunk_in
+                    self._process(chunk, final=False)
+                else:
+                    self._stage, flat, _ = self._take(self._stage, b * self.chunk_in)
+                    self._pending -= b * self.chunk_in
+                    self._process_multi(flat, b)
+                done += b
         return done
+
+    def _multi_step(self, b: int):
+        """Jitted drain of ``b`` chunks in one program: lax.scan over the
+        graph's stream_step (exactly :meth:`Graph.scan_stream`'s body, but
+        starting from the live carry). Cached per bucket size."""
+        fn = self._multi.get(b)
+        if fn is None:
+            step = self.graph.stream_step
+            chunk = self.chunk_in
+
+            def run(carry, flat):
+                shape = flat.shape[:-1] + (b, chunk)
+                chunks = jnp.moveaxis(flat.reshape(shape), -2, 0)
+                return jax.lax.scan(step, carry, chunks)
+
+            fn = self._multi[b] = jax.jit(run)
+        return fn
+
+    def _process_multi(self, flat: jnp.ndarray, b: int) -> None:
+        self._carry, outs = self._multi_step(b)(self._carry, flat)
+        stacked = _Stacked(outs)
+        for j in range(b):
+            res = Result(None, False, self._chunk_index, _stacked=stacked, _j=j)
+            self._chunk_index += 1
+            if self.emit_partials:
+                self._results.put(res)
+            for sink in self.sinks:
+                sink.write(res.data)
+            if self.events.enabled:
+                chunk = flat[..., j * self.chunk_in : (j + 1) * self.chunk_in]
+                rms = float(jnp.sqrt(jnp.mean(chunk**2)))
+                peak = float(jnp.max(jnp.abs(chunk))) if chunk.size else 0.0
+                self.events.emit_audio_level(rms=rms, peak=peak)
+                self.events.emit_result(res.data, final=False, index=res.index)
 
     def _process(self, chunk: jnp.ndarray, final: bool) -> Result:
         self._carry, out = self._step(self._carry, chunk)

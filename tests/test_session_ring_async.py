@@ -98,6 +98,77 @@ def test_snapshot_restore_through_ring(tmp_path):
     s2.close()
 
 
+def test_multi_chunk_drain_matches_single_and_offline():
+    """Bulk pushes drain >=2 buffered chunks through ONE jitted lax.scan
+    multi-step (bucketed 8/4/2) — same results as chunk-at-a-time, exactly
+    (ROADMAP 4b: amortizes this runtime's fixed per-dispatch charge)."""
+    sr = 48000
+    g = chain(Resample(sr, 16000, "kaiser"), input_rate=sr)
+    chunk = g.chunk_granularity() * 2
+    rng = np.random.default_rng(3)
+    x = (0.3 * rng.standard_normal(chunk * 19 + 77)).astype(np.float32)
+
+    # bulk session: capacity sized for the 8-bucket, whole signal in one push
+    sb = StreamSession(g, chunk_in=chunk, ring_capacity=17 * chunk).open()
+    assert 8 in sb._drain_buckets
+    sb.push(x)
+    sb.flush()
+    assert sb._multi, "multi-step drain was never exercised"
+    bulk = np.concatenate([r.data for r in sb.poll_all()], axis=-1)
+    sb.close()
+
+    # chunk-at-a-time session (b=1 path only)
+    s1 = StreamSession(g, chunk_in=chunk).open()
+    for i in range(0, len(x), chunk):
+        s1.push(x[i : i + chunk])
+    s1.flush()
+    assert not s1._multi
+    single = np.concatenate([r.data for r in s1.poll_all()], axis=-1)
+    s1.close()
+
+    np.testing.assert_array_equal(bulk, single)
+
+
+def test_multi_drain_results_share_one_fetch():
+    """All Results of one drained block materialize from a single shared
+    device->host fetch (the _Stacked holder)."""
+    g = _graph()
+    s = StreamSession(g, chunk_in=256, ring_capacity=17 * 256).open()
+    s.push(np.ones(8 * 256, np.float32))
+    rs = s.poll_all()
+    assert len(rs) == 8 and not any(r.materialized for r in rs)
+    holders = {id(r._stacked) for r in rs}
+    assert len(holders) == 1  # one block, one holder
+    _ = rs[0].data
+    # the shared holder now has the host copy; the others still lazily view it
+    assert rs[0].materialized and not rs[1].materialized
+    np.testing.assert_allclose(rs[7].data, np.full(256, 10 ** (6.0 / 20.0)), rtol=1e-6)
+    s.close()
+
+
+def test_snapshot_restore_across_multi_drain(tmp_path):
+    sr = 16000
+    g = _graph(sr)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(8 * 512 + 300).astype(np.float32)
+    s1 = StreamSession(g, chunk_in=512, ring_capacity=17 * 512).open()
+    s1.push(x)  # multi-drain leaves 300 pending
+    assert s1._pending == 300 and s1._multi
+    snap = tmp_path / "multi"
+    s1.snapshot(str(snap))
+    s1.flush()
+    want = np.concatenate([r.data for r in s1.poll_all()], axis=-1)
+    s1.close()
+
+    s2 = StreamSession(g, chunk_in=512, ring_capacity=17 * 512).restore(str(snap))
+    assert s2._pending == 300
+    s2.poll_all()
+    s2.flush()
+    got = np.concatenate([r.data for r in s2.poll_all()], axis=-1)
+    np.testing.assert_array_equal(got, want[..., 8 * 512 :])
+    s2.close()
+
+
 def test_ragged_pushes_compile_bounded_shape_buckets():
     """Irregular push sizes must NOT compile one write program per length:
     push pads host-side to power-of-two buckets (jit caches by shape; on TPU
