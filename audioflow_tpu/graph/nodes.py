@@ -338,6 +338,7 @@ class Spectrogram(Node):
     power: bool = True
     impl: str = "matmul"
     win_length: int | None = None
+    precision: str | None = None  # None -> ops.stft.DFT_PRECISION_DEFAULT
 
     domain_out = "frames"
 
@@ -345,6 +346,7 @@ class Spectrogram(Node):
         return ops.spectrogram(
             x, self.n_fft, self.hop, self.window, self.win_length,
             center=self.center, power=self.power, impl=self.impl,
+            precision=self.precision,
         )
 
     def chunk_multiple(self):
@@ -382,6 +384,7 @@ class Spectrogram(Node):
         spec = ops.spectrogram(
             buf, self.n_fft, self.hop, self.window, self.win_length,
             center=False, power=self.power, impl=self.impl,
+            precision=self.precision,
         )
         return buf[..., buf.shape[-1] - self._carry_len :], spec
 

@@ -38,3 +38,10 @@ def mm(a: jnp.ndarray, b: jnp.ndarray, precision: str | None = None) -> jnp.ndar
     """matmul with f32 accumulation and the configured MXU precision."""
     p = _PRECISIONS[precision or _default]
     return jnp.matmul(a, b, precision=p, preferred_element_type=jnp.float32)
+
+
+def em(subscripts: str, *operands, precision: str | None = None) -> jnp.ndarray:
+    """einsum with f32 accumulation and the configured MXU precision (for
+    contractions over a non-trailing axis, e.g. the factored DFT stages)."""
+    p = _PRECISIONS[precision or _default]
+    return jnp.einsum(subscripts, *operands, precision=p, preferred_element_type=jnp.float32)

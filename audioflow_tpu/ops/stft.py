@@ -58,11 +58,16 @@ def stft(
     frames = frame(x.astype(dtype), n_fft, hop)
     if impl == "matmul":
         cosb, sinb = _dft_banks(n_fft, window, win_length)
-        re = mm(frames, jnp.asarray(cosb, dtype), precision)
-        im = mm(frames, jnp.asarray(sinb, dtype), precision)
+        p = precision or DFT_PRECISION_DEFAULT
+        re = mm(frames, jnp.asarray(cosb, dtype), p)
+        im = mm(frames, jnp.asarray(sinb, dtype), p)
+        return jax.lax.complex(re, im)
+    if impl == "fourstep":
+        p = precision or DFT_PRECISION_DEFAULT
+        re, im = _rdft_fourstep(frames, n_fft, window, win_length, p)
         return jax.lax.complex(re, im)
     if impl != "fft":
-        raise ValueError(f"unknown stft impl {impl!r}; known: fft, matmul")
+        raise ValueError(f"unknown stft impl {impl!r}; known: fft, matmul, fourstep")
     w = get_window(window, win_length, periodic=True)
     if win_length < n_fft:  # center-pad window to n_fft
         pad = n_fft - win_length
@@ -83,6 +88,15 @@ power_fn = power  # alias (the `power=` kwarg of spectrogram shadows the name)
 
 
 _BANK_CACHE: dict = {}
+
+# Per-op precision cap for the forward DFT banks (the DESIGN.md §6b pattern,
+# same as the Pallas time-stretch DFTs): the spectrogram is MXU-compute-bound
+# — measured on chip at batch 512 / n_fft 1024: HIGHEST 132.9k x realtime,
+# HIGH 208.8k x (1.57x), while the f64-oracle relative error moves
+# 1.7e-7 -> 1.2e-5, still 8x inside the 1e-4 budget (audioflow validate
+# gates this on chip). Resample/mel stay HIGHEST (locality-bound; speed
+# doesn't pay there). Pass precision="highest" to override per call.
+DFT_PRECISION_DEFAULT = "high"
 
 
 def _dft_banks(n_fft: int, window: str, win_length: int | None):
@@ -106,6 +120,91 @@ def _dft_banks(n_fft: int, window: str, win_length: int | None):
             (-np.sin(ang) * w[:, None]).astype(np.float32),
         )
     return _BANK_CACHE[key]
+
+
+def _fourstep_factor(n_fft: int) -> int:
+    """Inner factor N1 for the four-step DFT: the power of two nearest
+    sqrt(n_fft) that divides it (balanced factors minimize total flops)."""
+    n1 = 1
+    while n1 * n1 < n_fft:
+        n1 *= 2
+    while n_fft % n1:
+        n1 //= 2
+    return max(n1, 2)
+
+
+def _fourstep_banks(n_fft: int, n1: int, window: str, win_length: int | None):
+    """Banks for the four-step (Bailey) real DFT of size N = N1*N2.
+
+    With n = n1*N2 + n2 and k = k1 + N1*k2:
+      X[k] = sum_n2 [ W_N^(n2 k1) * sum_n1 x[n1,n2] W_N1^(n1 k1) ] W_N2^(n2 k2)
+    i.e. inner DFT over n1 (bank [N1, N1]) -> twiddle [N2, N1] -> outer DFT
+    over n2 (bank [N2, N2//2+1], k2 truncated to cover k <= N/2). Cuts DFT
+    flops ~8x at n_fft=1024 vs the direct [N, N/2+1] banks, and the short
+    K=32 contractions lose far less to bf16 accumulation than K=1024.
+    All three banks are f64-designed. The analysis window depends on
+    n = n1*N2+n2 jointly, so it cannot fold into any single bank; it is
+    returned separately for the elementwise pre-multiply (VPU, fused).
+    """
+    key = ("4step", n_fft, n1, window, win_length)
+    if key not in _BANK_CACHE:
+        n2 = n_fft // n1
+        if n1 * n2 != n_fft:
+            raise ValueError(f"n1 {n1} does not divide n_fft {n_fft}")
+        k2sel = n2 // 2 + 1
+        a1 = 2.0 * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1
+        tw = 2.0 * np.pi * np.outer(np.arange(n2), np.arange(n1)) / n_fft
+        a2 = 2.0 * np.pi * np.outer(np.arange(n2), np.arange(k2sel)) / n2
+        wl = win_length or n_fft
+        w = get_window(window, wl, periodic=True)
+        if wl < n_fft:
+            pad = n_fft - wl
+            w = np.pad(w, (pad // 2, pad - pad // 2))
+        _BANK_CACHE[key] = (
+            w.astype(np.float32),
+            np.cos(a1).astype(np.float32), -np.sin(a1).astype(np.float32),
+            np.cos(tw).astype(np.float32), -np.sin(tw).astype(np.float32),
+            np.cos(a2).astype(np.float32), -np.sin(a2).astype(np.float32),
+        )
+    return _BANK_CACHE[key]
+
+
+def _rdft_fourstep(
+    frames: jnp.ndarray,
+    n_fft: int,
+    window: str,
+    win_length: int | None,
+    precision: str | None,
+    n1: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Windowed real DFT of frames [..., F, n_fft] -> (re, im) [..., F, n_bins]
+    via the four-step factorization (see :func:`_fourstep_banks`)."""
+    from ._mm import em
+
+    n1 = n1 or _fourstep_factor(n_fft)
+    n2 = n_fft // n1
+    w, c1, s1, tc, ts, c2, s2 = (
+        jnp.asarray(b) for b in _fourstep_banks(n_fft, n1, window, win_length)
+    )
+    x = (frames * w).reshape(*frames.shape[:-1], n1, n2)
+    # stage 1: inner DFT over n1 -> [..., F, n2, k1]
+    re = em("...ab,ak->...bk", x, c1, precision=precision)
+    im = em("...ab,ak->...bk", x, s1, precision=precision)
+    # stage 2: twiddle (complex elementwise, [n2, k1] broadcast over frames)
+    re, im = re * tc - im * ts, re * ts + im * tc
+    # stage 3+4: outer DFT over n2 -> [..., F, k2, k1]; k2-major layout makes
+    # the flattened last axis the bins 0..(k2sel*n1 - 1) in order
+    ro = em("...bk,bc->...ck", re, c2, precision=precision) - em(
+        "...bk,bc->...ck", im, s2, precision=precision
+    )
+    io = em("...bk,bc->...ck", re, s2, precision=precision) + em(
+        "...bk,bc->...ck", im, c2, precision=precision
+    )
+    n_bins = n_fft // 2 + 1
+    k2sel = n2 // 2 + 1
+    ro = ro.reshape(*ro.shape[:-2], k2sel * n1)[..., :n_bins]
+    io = io.reshape(*io.shape[:-2], k2sel * n1)[..., :n_bins]
+    return ro, io
 
 
 def spectrogram(
@@ -132,15 +231,21 @@ def spectrogram(
     if impl == "fft":
         spec = stft(x, n_fft, hop, win_length, window, center, pad_mode, dtype)
         return power_fn(spec) if power else magnitude(spec)
-    if impl != "matmul":
-        raise ValueError(f"unknown spectrogram impl {impl!r}; known: matmul, fft")
+    if impl not in ("matmul", "fourstep"):
+        raise ValueError(
+            f"unknown spectrogram impl {impl!r}; known: matmul, fourstep, fft"
+        )
     if center:
         widths = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         x = jnp.pad(x, widths, mode=pad_mode)
     frames = frame(x.astype(dtype), n_fft, hop)
-    cosb, sinb = _dft_banks(n_fft, window, win_length)
-    re = mm(frames, jnp.asarray(cosb, dtype), precision)
-    im = mm(frames, jnp.asarray(sinb, dtype), precision)
+    prec = precision or DFT_PRECISION_DEFAULT
+    if impl == "fourstep":
+        re, im = _rdft_fourstep(frames, n_fft, window, win_length, prec)
+    else:
+        cosb, sinb = _dft_banks(n_fft, window, win_length)
+        re = mm(frames, jnp.asarray(cosb, dtype), prec)
+        im = mm(frames, jnp.asarray(sinb, dtype), prec)
     p = re * re + im * im
     return p if power else jnp.sqrt(p)
 

@@ -76,6 +76,14 @@ def run_validation(seed: int = 0) -> dict:
     got = np.asarray(ops.magnitude(ops.stft(jnp.asarray(xb[: 20 * 128 + 512 - 128]), 512, 128, center=False)))[:20]
     report["stft_magnitude"] = float(np.abs(got - want).max() / max(want.max(), 1e-9))
 
+    # matmul spectrogram (the default impl, at its per-op precision cap
+    # DFT_PRECISION_DEFAULT='high' — this row is the on-chip gate for that
+    # cap; relative to the spectral peak like the stft row)
+    got = np.asarray(
+        ops.spectrogram(jnp.asarray(xb[: 20 * 128 + 512 - 128]), 512, 128, center=False, power=False)
+    )[:20]
+    report["spectrogram_matmul"] = float(np.abs(got - want).max() / max(want.max(), 1e-9))
+
     # mel projection
     fb = ops.mel_filterbank(257, 64, 16000, dtype=np.float64)
     spec = rng.random((20, 257)).astype(np.float32)

@@ -113,6 +113,42 @@ def test_stft_matmul_impl_matches_fft(rng, center):
     np.testing.assert_allclose(a, b, atol=2e-4 * np.abs(b).max())
 
 
+@pytest.mark.parametrize("n_fft,hop", [(1024, 256), (512, 128), (400, 160)])
+def test_stft_fourstep_impl_matches_fft(rng, n_fft, hop):
+    """Four-step factored DFT (N = N1 x N2, two short-K MXU stages + twiddle,
+    ~8x fewer flops at n_fft=1024) agrees with the FFT — and the short
+    contractions accumulate LESS error than the direct [N, N/2+1] banks."""
+    x = rng.standard_normal(8192).astype(np.float32)
+    a = np.asarray(stft(jnp.asarray(x), n_fft, hop, impl="fourstep"))
+    b = np.asarray(stft(jnp.asarray(x), n_fft, hop, impl="fft"))
+    np.testing.assert_allclose(a, b, atol=1e-4 * np.abs(b).max())
+
+
+@pytest.mark.parametrize("power_flag", [True, False])
+def test_spectrogram_fourstep_matches_matmul(rng, power_flag):
+    from audioflow_tpu.ops import spectrogram
+
+    x = rng.standard_normal((3, 8192)).astype(np.float32)
+    got = np.asarray(
+        spectrogram(jnp.asarray(x), 1024, 256, power=power_flag, impl="fourstep")
+    )
+    want = np.asarray(
+        spectrogram(jnp.asarray(x), 1024, 256, power=power_flag, impl="matmul")
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4 * want.max())
+
+
+def test_fourstep_factor_balanced_and_divides():
+    from audioflow_tpu.ops.stft import _fourstep_factor
+
+    assert _fourstep_factor(1024) == 32
+    assert _fourstep_factor(512) == 32  # 32x16
+    assert _fourstep_factor(400) == 16  # 16x25
+    assert _fourstep_factor(2048) == 64  # 64x32
+    for n in (256, 400, 512, 1024, 2048):
+        assert n % _fourstep_factor(n) == 0
+
+
 def test_istft_matmul_impl_matches_fft(rng):
     x = rng.standard_normal(8192).astype(np.float32)
     spec = stft(jnp.asarray(x), 512, 128)
