@@ -283,9 +283,14 @@ def cmd_stream(args) -> int:
         data = data.mean(axis=1).astype(np.float32)
     g = _build_graph(args.graph, rate, cfg, streaming=True)
     sinks = [auto_sink(args.output, sample_rate=g.output_rate)] if args.output else []
-    sess = StreamSession(g, chunk_in=args.chunk, sinks=sinks)
+    # a file source outruns the device, so default to 8-chunk block pushes:
+    # the session's multi-chunk drain then runs 8 steps per dispatch
+    # (BENCHMARKS.md: 16.3x -> 113x realtime on this runtime's push path)
+    gran = g.chunk_granularity()
+    chunk = args.chunk or gran * max(1, 4096 // gran)
+    sess = StreamSession(g, chunk_in=chunk, sinks=sinks, ring_capacity=17 * chunk)
     with sess:
-        step = args.push_size or sess.chunk_in
+        step = args.push_size or 8 * sess.chunk_in
         for i in range(0, len(data), step):
             sess.push(data[i : i + step])
         sess.flush()

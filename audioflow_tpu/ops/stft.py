@@ -276,8 +276,9 @@ def frames_from_spec(
     Istft node so the two paths can never diverge numerically)."""
     if impl == "matmul":
         ci, si = _idft_banks(n_fft)
-        frames = mm(jnp.real(spec).astype(dtype), jnp.asarray(ci), precision) + mm(
-            jnp.imag(spec).astype(dtype), jnp.asarray(si), precision
+        p = precision or DFT_PRECISION_DEFAULT  # same compute-bound cap as forward
+        frames = mm(jnp.real(spec).astype(dtype), jnp.asarray(ci), p) + mm(
+            jnp.imag(spec).astype(dtype), jnp.asarray(si), p
         )
         return frames.astype(dtype)
     if impl == "fft":
