@@ -14,17 +14,24 @@ n_mels % 8 == 0 and frames padded to tile multiples (handled by the wrapper).
 VMEM budget at n_fft=1024, n_mels=128: banks 2*2.1 MB + mel 0.26 MB +
 signal tile 0.13 MB + frames 0.5 MB + 2 temps 0.5 MB ~= 6 MB of ~16 MB.
 
-Status: measured SLOWER than the XLA pipeline on v5e (98.8k vs 112k x
-realtime, BENCHMARKS.md) — XLA's own fusion already keeps this op's
-intermediates cache-resident at these shapes, so the kernel is kept as a
-benchmarked experiment, not a default. The Pallas kernel that IS shipped
-as a default is the fused time-stretch (ops/pallas/timestretch.py), where
-five HBM-bound XLA stages genuinely collapse into one VMEM-resident pass.
+Status: measured SLOWER than the XLA pipeline on v5e at every matched
+precision tier (batch 256x10 s: XLA-'high' 11.99 ms / 213.5k x vs kernel
+'high' 13.62 ms / 187.9k x, kernel 'highest' 20.33 ms; round-1 numbers
+98.8k vs 112k) — XLA's own fusion already keeps this op's intermediates
+cache-resident at these shapes, so the kernel is kept as a benchmarked
+alternative, not a default. Its niche: compile time — Mosaic compiles in
+9-13 s where the XLA pipeline takes 185 s at batch 256 (useful for
+interactive/one-shot runs, same trade as stft impl="fourstep"). The
+Pallas kernel that IS shipped as a default is the fused time-stretch
+(ops/pallas/timestretch.py), where five HBM-bound XLA stages genuinely
+collapse into one VMEM-resident pass.
 """
 
 from __future__ import annotations
 
 from functools import partial
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -54,16 +61,30 @@ _FRAME_TILE = 64  # frames per row-tile; with 8 rows folded per instance the
 _ROWS_PER_INSTANCE = 8  # Mosaic tiling: block dim -2 must be a multiple of 8
 
 
-def _kernel(x_ref, cos_ref, sin_ref, fb_ref, out_ref, *, n_fft, hop, log_floor):
-    # x_ref: [8, span] — 8 flattened (batch, tile) rows, span = TILE*hop + n_fft - hop
-    # out_ref: [8, TILE, n_mels]
+def _kernel(*refs, n_fft, hop, log_floor, precision):
+    # refs: x, cos, sin, [cos_lo, sin_lo if precision == "high"], fb;
+    # then out. x_ref: [8, span] — 8 flattened (batch, tile) rows,
+    # span = TILE*hop + n_fft - hop; out_ref: [8, TILE, n_mels]
+    it = iter(refs)
+    x_ref, cos_ref, sin_ref = next(it), next(it), next(it)
+    cos_lo = sin_lo = None
+    if precision == "high":
+        cos_lo, sin_lo = next(it), next(it)
+    fb_ref, out_ref = next(it), next(it)
+
     k = n_fft // hop
     n_rows = _FRAME_TILE + k - 1
 
-    def dot(a, b):
+    def raw_dot(a, b, prec):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+
+    def dot(a, b):
+        return raw_dot(
+            a, b,
+            jax.lax.Precision.DEFAULT if precision == "default" else jax.lax.Precision.HIGHEST,
         )
 
     # frames[t] = concat_j sig[t+j]; instead of materializing frames (Mosaic
@@ -76,14 +97,31 @@ def _kernel(x_ref, cos_ref, sin_ref, fb_ref, out_ref, *, n_fft, hop, log_floor):
     def seg(j):
         return sig[:, j : j + _FRAME_TILE, :].reshape(_ROWS_PER_INSTANCE * _FRAME_TILE, hop)
 
-    re = dot(seg(0), cos_ref[0:hop, :])
-    im = dot(seg(0), sin_ref[0:hop, :])
-    for j in range(1, k):
+    re = im = None
+    for j in range(k):
         s = seg(j)
-        re = re + dot(s, cos_ref[j * hop : (j + 1) * hop, :])
-        im = im + dot(s, sin_ref[j * hop : (j + 1) * hop, :])
+        sl = slice(j * hop, (j + 1) * hop)
+        if precision == "high":
+            # bf16x3: VMEM-resident bank hi/lo (host-presplit; the hi banks
+            # ARE bf16-representable — see the wrapper), operand split shared
+            # by the cos and sin dots (same scheme as pallas/timestretch)
+            a_hi = s.astype(jnp.bfloat16).astype(jnp.float32)
+            a_lo = s - a_hi
+            d = jax.lax.Precision.DEFAULT
+            ch, cl = cos_ref[sl, :], cos_lo[sl, :]
+            sh, sn = sin_ref[sl, :], sin_lo[sl, :]
+            re_j = raw_dot(a_hi, ch, d) + raw_dot(a_hi, cl, d) + raw_dot(a_lo, ch, d)
+            im_j = raw_dot(a_hi, sh, d) + raw_dot(a_hi, sn, d) + raw_dot(a_lo, sh, d)
+        else:
+            re_j = dot(s, cos_ref[sl, :])
+            im_j = dot(s, sin_ref[sl, :])
+        re = re_j if re is None else re + re_j
+        im = im_j if im is None else im + im_j
     p = re * re + im * im
-    mels = dot(p, fb_ref[:])
+    # mel projection always at HIGHEST: one small [.., n_bins] @ [n_bins,
+    # n_mels] dot — negligible next to the k DFT dots (DESIGN.md §6b keeps
+    # mel at 'highest' on the XLA path for the same reason)
+    mels = raw_dot(p, fb_ref[:], jax.lax.Precision.HIGHEST)
     if log_floor is not None:
         mels = jnp.log(jnp.maximum(mels, log_floor))
     out_ref[:, :, :] = mels.reshape(_ROWS_PER_INSTANCE, _FRAME_TILE, mels.shape[-1])
@@ -91,7 +129,10 @@ def _kernel(x_ref, cos_ref, sin_ref, fb_ref, out_ref, *, n_fft, hop, log_floor):
 
 @partial(
     jax.jit,
-    static_argnames=("n_fft", "hop", "n_mels", "sample_rate", "window", "log_floor", "interpret"),
+    static_argnames=(
+        "n_fft", "hop", "n_mels", "sample_rate", "window", "log_floor",
+        "precision", "interpret",
+    ),
 )
 def mel_spectrogram_pallas(
     x: jnp.ndarray,
@@ -101,18 +142,32 @@ def mel_spectrogram_pallas(
     sample_rate: int = 16000,
     window: str = "hann",
     log_floor: float | None = 1e-10,
+    precision: str | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(log-)mel spectrogram ``[batch, frames, n_mels]`` of ``x [batch, T]``.
 
     Equivalent to ``log_mel(spectrogram(x, center=False), mel_filterbank(...))``
     (verified in tests); one fused Pallas kernel per 128-frame tile.
+
+    ``precision`` sets the DFT-bank dots only ("default"/"high"/"highest";
+    None follows ``ops.stft.DFT_PRECISION_DEFAULT``, the same cap as the XLA
+    spectrogram path — the DFT is compute-bound, see DESIGN.md §6b). "high"
+    is an in-kernel bf16x3 with host-presplit VMEM-resident bank residuals.
+    The mel projection dot always runs at HIGHEST.
     """
     if not _PALLAS_OK:
         raise RuntimeError("pallas unavailable in this JAX build")
+    if precision is None:
+        from ..stft import DFT_PRECISION_DEFAULT
+
+        precision = DFT_PRECISION_DEFAULT
+    if precision not in ("default", "high", "highest"):
+        raise ValueError(f"unknown precision {precision!r}")
     if x.ndim == 1:
         return mel_spectrogram_pallas(
-            x[None], n_fft, hop, n_mels, sample_rate, window, log_floor, interpret
+            x[None], n_fft, hop, n_mels, sample_rate, window, log_floor,
+            precision, interpret,
         )[0]
     if n_fft % hop:
         raise ValueError("pallas melspec requires hop | n_fft")
@@ -144,22 +199,50 @@ def mel_spectrogram_pallas(
     if rows != r0:
         tiles = jnp.pad(tiles, ((0, rows - r0), (0, 0)))
 
-    kernel = partial(_kernel, n_fft=n_fft, hop=hop, log_floor=log_floor)
+    kernel = partial(
+        _kernel, n_fft=n_fft, hop=hop, log_floor=log_floor, precision=precision
+    )
     n_bins = n_fft // 2 + 1
+    bank_spec = pl.BlockSpec((n_fft, n_bins), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    inputs = [tiles]
+    in_specs = [
+        pl.BlockSpec((_ROWS_PER_INSTANCE, span), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    if precision == "high":
+        # the bank shipped as the dot's hi operand must itself be
+        # bf16-representable (the lo residual is computed against that
+        # rounding) — see ops/pallas/timestretch.py for the failure mode
+        import ml_dtypes
+
+        def np_hi_lo(b):
+            b = np.asarray(b, np.float32)
+            hi = b.astype(ml_dtypes.bfloat16).astype(np.float32)
+            return hi, b - hi
+
+        (cosb, cos_lo), (sinb, sin_lo) = np_hi_lo(cosb), np_hi_lo(sinb)
+        inputs += [jnp.asarray(cosb), jnp.asarray(sinb), jnp.asarray(cos_lo), jnp.asarray(sin_lo)]
+        in_specs += [bank_spec] * 4
+    else:
+        inputs += [jnp.asarray(cosb), jnp.asarray(sinb)]
+        in_specs += [bank_spec] * 2
+    inputs.append(jnp.asarray(fb))
+    in_specs.append(pl.BlockSpec((n_bins, n_mels), lambda i: (0, 0), memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kernel,
         grid=(rows // _ROWS_PER_INSTANCE,),
-        in_specs=[
-            pl.BlockSpec((_ROWS_PER_INSTANCE, span), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, n_bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, n_bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_bins, n_mels), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (_ROWS_PER_INSTANCE, _FRAME_TILE, n_mels), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((rows, _FRAME_TILE, n_mels), jnp.float32),
+        # "high" mode adds ~4.2 MB of resident bank residuals, and on small
+        # inputs XLA promotes whole (sub-MB) operand/output arrays into VMEM
+        # on top of the kernel's own budget — observed 18.8 MB vs the 16 MB
+        # default scoped limit on a 4x1 s batch. Same fix as
+        # pallas/timestretch.py: raise the scoped limit (physical VMEM is
+        # far larger).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(tiles, jnp.asarray(cosb), jnp.asarray(sinb), jnp.asarray(fb))
+    )(*inputs)
     out = out[:r0].reshape(batch, n_tiles * _FRAME_TILE, n_mels)
     return out[:, :n_frames]

@@ -199,7 +199,12 @@ def _select(x, plan: _Plan, extra: int, row, interpret=False):
 
 
 def _cumprod_phasor(ur, ui, tile, row, interpret=False):
-    """Inclusive Hillis-Steele prefix product of unit phasors along axis 1."""
+    """Inclusive Hillis-Steele prefix product of unit phasors along axis 1.
+
+    (A lane-concatenated variant — one wide roll of (re, im) per pass instead
+    of two — was measured 3% SLOWER at batch 256: Mosaic's roll cost scales
+    with bytes, so fusing the planes buys nothing and the concat adds a copy.
+    Same result for the step-2/3 rolls and selects; see BENCHMARKS.md.)"""
     zr, zi = ur, ui
     s = 1
     while s < tile:
@@ -213,24 +218,33 @@ def _cumprod_phasor(ur, ui, tile, row, interpret=False):
     return zr, zi
 
 
-def _kernel(
-    sig_ref, cos_ref, sin_ref, ci_ref, si_ref, out_ref, zr_ref, zi_ref, tl_ref,
-    *, plan: _Plan, hop, n_fft, n_bins, precision, interpret,
-):
-    t = pl.program_id(1)
+def _raw_dot(a, b, prec):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32,
+    )
 
-    def _raw_dot(a, b, prec):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            precision=prec, preferred_element_type=jnp.float32,
-        )
 
-    if precision == "high":  # manual bf16x3: hi/lo split, f32 accumulation
-        def dot(a, b):
-            a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
-            a_lo = a - a_hi
-            b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
-            b_lo = b - b_hi
+def _split_hi_lo(a):
+    """Exact f32 = bf16-representable hi + residual lo decomposition."""
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, a - hi
+
+
+def _make_dot(precision):
+    """dot(a, (b_hi, b_lo)) at the given precision tier.
+
+    "high" is the classic bf16x3 split (a_hi*b_hi + a_hi*b_lo + a_lo*b_hi,
+    f32 accumulation) — the same arithmetic XLA's Precision.HIGH lowers to at
+    half the HIGHEST cost. The BANK side of the split is precomputed on host
+    (b_lo resident in VMEM) because the banks are constant across grid steps:
+    deriving them in-kernel re-ran the astype/sub chains every step.
+    Other tiers ignore b_lo and use Mosaic's native lowering.
+    """
+    if precision == "high":
+        def dot(a, b_pair):
+            b_hi, b_lo = b_pair
+            a_hi, a_lo = _split_hi_lo(a)
             d = jax.lax.Precision.DEFAULT
             return (
                 _raw_dot(a_hi, b_hi, d) + _raw_dot(a_hi, b_lo, d) + _raw_dot(a_lo, b_hi, d)
@@ -240,22 +254,55 @@ def _kernel(
             jax.lax.Precision.DEFAULT if precision == "default" else jax.lax.Precision.HIGHEST
         )
 
-        def dot(a, b):
-            return _raw_dot(a, b, _prec)
+        def dot(a, b_pair):
+            return _raw_dot(a, b_pair[0], _prec)
+
+    return dot
+
+
+def _kernel(
+    *refs, plan: _Plan, hop, n_fft, n_bins, precision, inv_precision, interpret,
+):
+    # inputs: sig, cos, sin, ci, si, [cos_lo, sin_lo] if fwd high,
+    # [ci_lo, si_lo] if inv high; then out, then scratch (zr, zi, tail).
+    it = iter(refs)
+    sig_ref, cos_ref, sin_ref, ci_ref, si_ref = (next(it) for _ in range(5))
+    cos_lo = sin_lo = ci_lo = si_lo = None
+    if precision == "high":
+        cos_lo, sin_lo = next(it), next(it)
+    if inv_precision == "high":
+        ci_lo, si_lo = next(it), next(it)
+    out_ref, zr_ref, zi_ref, tl_ref = next(it), next(it), next(it), next(it)
+
+    t = pl.program_id(1)
+    dot = _make_dot(precision)
+    dot_inv = dot if inv_precision == precision else _make_dot(inv_precision)
 
     k, ft_pad, tile = plan.k, plan.ft_pad, plan.tile
     sig = sig_ref[0]  # [ROWS, n_rows, hop]
 
-    # 1. forward windowed rDFT as k segment dots (frames never materialized)
+    # 1. forward windowed rDFT as k segment dots (frames never materialized);
+    # in "high" mode the segment's hi/lo split is shared by the cos and sin
+    # dots, and the bank splits are VMEM-resident (see _make_dot)
     def seg(j):
         return sig[:, j : j + ft_pad, :].reshape(_ROWS * ft_pad, hop)
 
-    re = dot(seg(0), cos_ref[0:hop, :])
-    im = dot(seg(0), sin_ref[0:hop, :])
-    for j in range(1, k):
+    re = im = None
+    for j in range(k):
         s = seg(j)
-        re = re + dot(s, cos_ref[j * hop : (j + 1) * hop, :])
-        im = im + dot(s, sin_ref[j * hop : (j + 1) * hop, :])
+        sl = slice(j * hop, (j + 1) * hop)
+        if precision == "high":
+            a_hi, a_lo = _split_hi_lo(s)
+            d = jax.lax.Precision.DEFAULT
+            ch, cl = cos_ref[sl, :], cos_lo[sl, :]
+            sh, sn = sin_ref[sl, :], sin_lo[sl, :]
+            re_j = _raw_dot(a_hi, ch, d) + _raw_dot(a_hi, cl, d) + _raw_dot(a_lo, ch, d)
+            im_j = _raw_dot(a_hi, sh, d) + _raw_dot(a_hi, sn, d) + _raw_dot(a_lo, sh, d)
+        else:
+            re_j = dot(s, (cos_ref[sl, :], None))
+            im_j = dot(s, (sin_ref[sl, :], None))
+        re = re_j if re is None else re + re_j
+        im = im_j if im is None else im + im_j
     re3 = re.reshape(_ROWS, ft_pad, n_bins)
     im3 = im.reshape(_ROWS, ft_pad, n_bins)
 
@@ -316,7 +363,9 @@ def _kernel(
     zi_ref[...] = jnp.where(nok, ni / nsafe, 0.0)
 
     # 5. inverse rDFT (synthesis window folded into ci/si) + overlap-add
-    frames = dot(s_re, ci_ref[...]) + dot(s_im, si_ref[...])
+    frames = dot_inv(
+        s_re, (ci_ref[...], ci_lo[...] if ci_lo is not None else None)
+    ) + dot_inv(s_im, (si_ref[...], si_lo[...] if si_lo is not None else None))
     of3 = frames.reshape(_ROWS, tile, n_fft)
     row_h = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, tile, hop), 1)
     # tail scratch only has nonzeros in rows < k-1 (built below); plain add
@@ -336,7 +385,9 @@ def _kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("rate", "n_fft", "hop", "window", "precision", "interpret"),
+    static_argnames=(
+        "rate", "n_fft", "hop", "window", "precision", "inv_precision", "interpret",
+    ),
 )
 def time_stretch_pallas(
     x: jnp.ndarray,
@@ -345,6 +396,7 @@ def time_stretch_pallas(
     hop: int = 256,
     window: str = "hann",
     precision: str = "highest",
+    inv_precision: str | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused time stretch of ``x [batch, T]`` (or ``[T]``) by ``1/rate``.
@@ -357,9 +409,15 @@ def time_stretch_pallas(
         raise RuntimeError("pallas unavailable in this JAX build")
     if precision not in _PRECISIONS:
         raise ValueError(f"unknown precision {precision!r}; known: {sorted(_PRECISIONS)}")
+    if inv_precision is None:
+        inv_precision = precision
+    if inv_precision not in _PRECISIONS:
+        raise ValueError(
+            f"unknown inv_precision {inv_precision!r}; known: {sorted(_PRECISIONS)}"
+        )
     if x.ndim == 1:
         return time_stretch_pallas(
-            x[None], rate, n_fft, hop, window, precision, interpret
+            x[None], rate, n_fft, hop, window, precision, inv_precision, interpret
         )[0]
     if x.ndim != 2:
         raise ValueError(f"expected [batch, T] or [T], got shape {x.shape}")
@@ -406,24 +464,48 @@ def time_stretch_pallas(
     ciw = (ci * w[None, :]).astype(np.float32)
     siw = (si * w[None, :]).astype(np.float32)
 
+    def np_hi_lo(b):  # exact f32 = bf16-representable hi + residual lo
+        import ml_dtypes
+
+        b = np.asarray(b, np.float32)
+        hi = b.astype(ml_dtypes.bfloat16).astype(np.float32)
+        return hi, b - hi
+
+    # In "high" mode the bank passed as the dot's hi operand MUST itself be
+    # bf16-representable (the lo residual is computed against that rounding);
+    # shipping the full-f32 bank as "hi" double-counts the residual wherever
+    # the dot doesn't truncate (CPU interpret; and Mosaic may keep f32 too).
+    if precision == "high":
+        (cosb, cos_lo), (sinb, sin_lo) = np_hi_lo(cosb), np_hi_lo(sinb)
+    if inv_precision == "high":
+        (ciw, ci_lo), (siw, si_lo) = np_hi_lo(ciw), np_hi_lo(siw)
+
+    fwd_spec = pl.BlockSpec((n_fft, n_bins), lambda r, t: (0, 0), memory_space=pltpu.VMEM)
+    inv_spec = pl.BlockSpec((n_bins, n_fft), lambda r, t: (0, 0), memory_space=pltpu.VMEM)
+    inputs = [tiles, jnp.asarray(cosb), jnp.asarray(sinb), jnp.asarray(ciw), jnp.asarray(siw)]
+    in_specs = [
+        pl.BlockSpec(
+            (1, _ROWS, plan.n_rows, hop), lambda r, t: (t, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        fwd_spec, fwd_spec, inv_spec, inv_spec,
+    ]
+    if precision == "high":  # VMEM-resident bank residuals (see _make_dot)
+        inputs += [jnp.asarray(cos_lo), jnp.asarray(sin_lo)]
+        in_specs += [fwd_spec, fwd_spec]
+    if inv_precision == "high":
+        inputs += [jnp.asarray(ci_lo), jnp.asarray(si_lo)]
+        in_specs += [inv_spec, inv_spec]
+
     kernel = partial(
         _kernel, plan=plan, hop=hop, n_fft=n_fft, n_bins=n_bins,
-        precision=precision, interpret=interpret,
+        precision=precision, inv_precision=inv_precision, interpret=interpret,
     )
     grid = (b_pad // _ROWS, n_tiles)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, _ROWS, plan.n_rows, hop), lambda r, t: (t, r, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((n_fft, n_bins), lambda r, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, n_bins), lambda r, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_bins, n_fft), lambda r, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_bins, n_fft), lambda r, t: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, _ROWS, plan.tile, hop), lambda r, t: (t, r, 0, 0),
             memory_space=pltpu.VMEM,
@@ -436,7 +518,8 @@ def time_stretch_pallas(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            # the kernel budgets ~15 MB of VMEM for itself; on small inputs
+            # the kernel budgets ~15 MB of VMEM for itself (plus up to 8.4 MB
+            # of resident bank residuals in "high" modes); on small inputs
             # XLA additionally promotes the whole (sub-MB) output array into
             # VMEM, which blows the default 16 MB scoped limit (observed
             # 17.9 MB on a 1 s mono clip). Physical VMEM is far larger;
@@ -444,7 +527,7 @@ def time_stretch_pallas(
             vmem_limit_bytes=48 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(tiles, jnp.asarray(cosb), jnp.asarray(sinb), jnp.asarray(ciw), jnp.asarray(siw))
+    )(*inputs)
 
     y = jnp.transpose(out, (1, 0, 2, 3)).reshape(b_pad, f_out * hop)[:batch]
 

@@ -116,15 +116,25 @@ def time_stretch(
         from ._mm import get_default_matmul_precision
         from .pallas.timestretch import time_stretch_pallas
 
-        # per-op default caps the framework-wide HIGHEST down to HIGH: the
-        # vocoder is a resynthesis (its validate gate budget is 6e-3 relative
-        # vs the XLA path; bf16x3 DFT error is orders below that), and the
-        # in-kernel bf16x6 dots are the single largest cost after the VPU
-        # stages. An explicitly lowered global or per-call override wins.
+        # per-op default caps the framework-wide HIGHEST down to a split
+        # forward/inverse setting: forward DFT at HIGH (bf16x3 — analysis
+        # phase feeds the cumulative phasor product, so it keeps the 3-pass
+        # split), inverse iDFT at DEFAULT (bf16 — pure resynthesis, its
+        # rounding lands directly on output samples as an ~-54 dB noise
+        # floor, far below phase-vocoder artifact level). Measured on v5e at
+        # batch 256x10 s: 29.3 ms (high/high) -> 25.6 ms (high/default),
+        # rel 2.0e-3 vs the bf16x6 kernel — inside the 6e-3 validate budget
+        # (`pvoc_pallas_vs_xla_rel` gates exactly this combo on chip). An
+        # explicitly lowered global or per-call override wins and sets BOTH.
+        inv_precision = None
         if precision is None:
             g = get_default_matmul_precision()
             precision = "high" if g == "highest" else g
-        return time_stretch_pallas(x, rate, n_fft, hop, window, precision=precision)
+            inv_precision = "default" if precision == "high" else precision
+        return time_stretch_pallas(
+            x, rate, n_fft, hop, window,
+            precision=precision, inv_precision=inv_precision,
+        )
     spec = stft(x, n_fft=n_fft, hop=hop, window=window, impl=impl, precision=precision)
     out = phase_vocoder(spec, rate, hop, n_fft)
     length = int(round(x.shape[-1] / rate))

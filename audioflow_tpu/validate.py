@@ -148,19 +148,56 @@ def run_validation(seed: int = 0) -> dict:
         ref = np.asarray(
             jax.jit(lambda z: ops.time_stretch(z, 1.25, impl="matmul"))(jnp.asarray(xs))
         )
-        # gate the precision the auto path actually dispatches ("high": the
-        # in-kernel 3-pass hi/lo split), not the slowest mode
+        # gate the precision the auto path actually dispatches (forward
+        # "high" = in-kernel bf16x3 with presplit banks, inverse "default" =
+        # bf16 resynthesis), not the slowest mode
         got = np.asarray(
-            _ts_pallas(jnp.asarray(xs), 1.25, precision="high", interpret=not on_tpu)
+            _ts_pallas(
+                jnp.asarray(xs), 1.25,
+                precision="high", inv_precision="default",
+                interpret=not on_tpu,
+            )
         )
         n = ref.shape[-1] - 1024  # tail convention differs (documented)
         rel = float(np.abs(ref[:n] - got[:n]).max() / max(np.abs(ref).max(), 1e-9))
         report["pvoc_pallas_vs_xla_rel"] = rel
 
+    # Pallas melspec kernel vs the XLA log-mel pipeline — the non-interpret
+    # Mosaic compile gate for the second kernel (tests run interpret=True
+    # only). Gated at the 'high' tier it ships with (DFT_PRECISION_DEFAULT);
+    # measured 1.1e-3 on chip in log-mel space (small mel bins amplify
+    # power-domain rounding through the log), budget 5e-3.
+    from .ops.pallas import melspec_available
+    from .ops.pallas.melspec import mel_spectrogram_pallas as _mel_pallas
+
+    if melspec_available():
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        xm = 0.3 * np.sin(
+            2 * np.pi * 330.0 * np.arange(16000) / 16000.0
+        ).astype(np.float32) + 0.05 * rng.standard_normal(16000).astype(np.float32)
+        fb = ops.mel_filterbank(513, 128, 16000)
+        ref_lm = np.asarray(
+            jax.jit(
+                lambda z: ops.log_mel(ops.spectrogram(z, 1024, 256, center=False), fb)
+            )(jnp.asarray(xm[None]))
+        )
+        got_lm = np.asarray(
+            _mel_pallas(jnp.asarray(xm[None]), precision="high", interpret=not on_tpu)
+        )
+        report["melspec_pallas_vs_xla_logmel"] = float(np.abs(ref_lm - got_lm).max())
+
     float_keys = [
         k
         for k in report
-        if k not in ("vad_state_mismatches", "quantize_i16", "pvoc_pallas_vs_xla_rel")
+        if k
+        not in (
+            "vad_state_mismatches",
+            "quantize_i16",
+            "pvoc_pallas_vs_xla_rel",
+            "melspec_pallas_vs_xla_logmel",
+        )
     ]
     report["max_abs_err"] = max(report[k] for k in float_keys)
     report["pass"] = bool(
@@ -168,5 +205,6 @@ def run_validation(seed: int = 0) -> dict:
         and report["vad_state_mismatches"] == 0
         and report["quantize_i16"] == 0
         and report.get("pvoc_pallas_vs_xla_rel", 0.0) < 6e-3
+        and report.get("melspec_pallas_vs_xla_logmel", 0.0) < 5e-3
     )
     return report

