@@ -40,12 +40,18 @@ class DecodedBatch:
 
 
 def decode_batch(
-    sources: Sequence, pad_multiple: int = 128, stride: int | None = None, use_native: bool = True
+    sources: Sequence,
+    pad_multiple: int = 128,
+    stride: int | None = None,
+    use_native: bool = True,
+    out: np.ndarray | None = None,
 ) -> DecodedBatch:
     """Decode a list of WAV/FLAC paths/byte-buffers into a padded mono batch.
 
     A failing file zeroes its lane and flips ``valid`` — the batch always
-    survives (SURVEY §5.3 per-lane error isolation).
+    survives (SURVEY §5.3 per-lane error isolation). ``out`` optionally
+    supplies the (warm, reused) staging buffer — see
+    :func:`audioflow_tpu.io.native.decode_batch_mono`; it requires ``stride``.
     """
     buffers: list[bytes] = []
     paths = list(sources)
@@ -59,6 +65,8 @@ def decode_batch(
             except OSError:
                 buffers.append(b"")  # poisoned lane
 
+    if out is not None and stride is None:
+        stride = out.shape[1]
     if stride is None:
         from . import probe_audio
 
@@ -71,14 +79,17 @@ def decode_batch(
         stride = round_up(int(max_frames), pad_multiple)
 
     if use_native and native.available():
-        out, frames, rates = native.decode_batch_mono(buffers, stride)
+        out, frames, rates = native.decode_batch_mono(buffers, stride, out=out)
         valid = frames >= 0
         lengths = np.where(valid, frames, 0)
         return DecodedBatch(out, lengths.astype(np.int64), rates, valid, paths)
 
     # numpy fallback
     n = len(buffers)
-    out = np.zeros((n, stride), dtype=np.float32)
+    if out is None:
+        out = np.zeros((n, stride), dtype=np.float32)
+    else:
+        out[:] = 0.0
     lengths = np.zeros(n, dtype=np.int64)
     rates = np.zeros(n, dtype=np.int32)
     valid = np.zeros(n, dtype=bool)
@@ -134,12 +145,31 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        # Staging-buffer ring (only with a fixed stride): decoding into a
+        # warm, reused buffer is ~2.7x faster than into a fresh np allocation
+        # (each 41 MB np.zeros is a cold mmap and the decode write loop pays
+        # one page fault per page — measured in BENCHMARKS.md "Host decode").
+        # Ring depth prefetch+3 means a buffer is recycled only after that
+        # many newer batches were yielded; consumers (runner.run_batches)
+        # device_put the samples within one step, far inside that window.
+        ring: list[np.ndarray | None] = (
+            [None] * (self.prefetch + 3) if self.stride is not None else []
+        )
+
         def producer():
             try:
-                for group in self._batches():
+                for i, group in enumerate(self._batches()):
+                    out = None
+                    if ring:
+                        slot = i % len(ring)
+                        if ring[slot] is None or ring[slot].shape[0] < len(group):
+                            ring[slot] = np.empty(
+                                (self.batch_size, self.stride), dtype=np.float32
+                            )
+                        out = ring[slot][: len(group)]
                     q.put(
                         decode_batch(
-                            group, self.pad_multiple, self.stride, self.use_native
+                            group, self.pad_multiple, self.stride, self.use_native, out=out
                         )
                     )
                 q.put(sentinel)

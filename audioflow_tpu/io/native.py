@@ -80,19 +80,37 @@ def available() -> bool:
 
 
 def decode_batch_mono(
-    buffers: list[bytes], stride: int, n_threads: int = 0
+    buffers: list[bytes], stride: int, n_threads: int = 0, out: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode WAV byte buffers to a zero-padded mono f32 batch.
 
     Returns (out [n, stride] f32, n_frames [n] i64 (-1 = failed lane),
     rates [n] i32). Failed lanes are zeroed, never raising — per-lane fault
     isolation (SURVEY §5.3).
+
+    ``out``, if given, is the destination buffer (``[n, stride]`` f32,
+    C-contiguous) and is returned; the C++ side zeroes every lane before
+    writing, so no host-side clear is needed. Reusing a warm buffer across
+    batches nearly triples decode throughput: a fresh 41 MB allocation is
+    cold-mmap'd and the decode loop pays one page fault per written page
+    (measured 46 ms cold vs 17 ms warm for 64x10 s files — BENCHMARKS.md
+    "Host decode").
     """
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native decoder unavailable: {_load_error}")
     n = len(buffers)
-    out = np.zeros((n, stride), dtype=np.float32)
+    if out is None:
+        out = np.empty((n, stride), dtype=np.float32)  # C++ memsets each lane
+    elif (
+        out.shape != (n, stride)
+        or out.dtype != np.float32
+        or not out.flags["C_CONTIGUOUS"]
+    ):
+        raise ValueError(
+            f"out must be C-contiguous f32 [{n}, {stride}], got "
+            f"{out.dtype} {out.shape}"
+        )
     frames = np.zeros(n, dtype=np.int64)
     rates = np.zeros(n, dtype=np.int32)
     buf_ptrs = (ctypes.c_char_p * n)(*buffers)

@@ -112,6 +112,37 @@ def test_batch_loader_bad_batch_size():
         BatchLoader([], 0)
 
 
+@pytest.mark.parametrize("use_native", [False, True])
+def test_batch_loader_staging_ring(tmp_path, use_native):
+    """Fixed-stride loaders decode into reused warm buffers; results are
+    identical to the unpooled path, including pad-tail zeroing after a
+    longer batch wrote the same slot (the slot must be re-zeroed per use)."""
+    if use_native and not native.available():
+        pytest.skip("native decoder not built")
+    paths = []
+    for i in range(12):  # > ring depth (prefetch+3 = 5) so slots recycle
+        p = tmp_path / f"{i}.wav"
+        write_wav(p, _tone(n=512 - i * 16, f=200.0 + 10 * i), 16000)
+        paths.append(p)
+    pooled = BatchLoader(paths, batch_size=2, stride=512, use_native=use_native)
+    plain = [
+        decode_batch(paths[i : i + 2], stride=512, use_native=use_native)
+        for i in range(0, 12, 2)
+    ]
+    # consume streamingly: batch.samples is only valid until the ring slot
+    # recycles (prefetch+3 batches later) — the runner's usage pattern
+    n = 0
+    for g, w in zip(pooled, plain):
+        np.testing.assert_array_equal(g.samples, w.samples)
+        np.testing.assert_array_equal(g.lengths, w.lengths)
+        assert g.valid.all()
+        # pad tail beyond the file's length is zero even on a recycled slot
+        for row, ln in enumerate(g.lengths):
+            assert np.all(g.samples[row, int(ln):] == 0.0)
+        n += 1
+    assert n == len(plain)
+
+
 def test_probe_truncated_inside_fmt_raises_typed():
     """Regression: struct.error must surface as IOError_ (lane isolation)."""
     import struct as _s
