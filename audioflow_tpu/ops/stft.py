@@ -57,8 +57,12 @@ def stft(
         x = jnp.pad(x, widths, mode=pad_mode)
     frames = frame(x.astype(dtype), n_fft, hop)
     if impl == "matmul":
-        cosb, sinb = _dft_banks(n_fft, window, win_length)
         p = precision or DFT_PRECISION_DEFAULT
+        if p == "highest":  # folded banks win at bf16x6 (see spectrogram)
+            out = _rdft_folded(frames, n_fft, window, win_length, p, dtype)
+            if out is not None:
+                return jax.lax.complex(*out)
+        cosb, sinb = _dft_banks(n_fft, window, win_length)
         re = mm(frames, jnp.asarray(cosb, dtype), p)
         im = mm(frames, jnp.asarray(sinb, dtype), p)
         return jax.lax.complex(re, im)
@@ -66,8 +70,18 @@ def stft(
         p = precision or DFT_PRECISION_DEFAULT
         re, im = _rdft_fourstep(frames, n_fft, window, win_length, p)
         return jax.lax.complex(re, im)
+    if impl == "folded":
+        p = precision or DFT_PRECISION_DEFAULT
+        out = _rdft_folded(frames, n_fft, window, win_length, p, dtype)
+        if out is None:  # asymmetric window: plain banks, same result
+            cosb, sinb = _dft_banks(n_fft, window, win_length)
+            out = (mm(frames, jnp.asarray(cosb, dtype), p),
+                   mm(frames, jnp.asarray(sinb, dtype), p))
+        return jax.lax.complex(*out)
     if impl != "fft":
-        raise ValueError(f"unknown stft impl {impl!r}; known: fft, matmul, fourstep")
+        raise ValueError(
+            f"unknown stft impl {impl!r}; known: fft, matmul, folded, fourstep"
+        )
     w = get_window(window, win_length, periodic=True)
     if win_length < n_fft:  # center-pad window to n_fft
         pad = n_fft - win_length
@@ -120,6 +134,67 @@ def _dft_banks(n_fft: int, window: str, win_length: int | None):
             (-np.sin(ang) * w[:, None]).astype(np.float32),
         )
     return _BANK_CACHE[key]
+
+
+def _folded_banks(n_fft: int, window: str, win_length: int | None):
+    """Symmetry-folded windowed rDFT banks — half the MACs of `_dft_banks`.
+
+    cos(2*pi*n*k/N) = cos(2*pi*(N-n)*k/N) and sin is antisymmetric, so pairing
+    sample n with N-n turns the [N, n_bins] cos/sin dots into
+      re = [x0, e, xh] @ CE   with e[n] = x[n] + x[N-n], n = 1..N/2-1
+      im =       o  @ SE   with o[n] = x[n] - x[N-n]
+    where CE is [N/2+1, n_bins] (rows: n=0, the pairs, n=N/2) and SE is
+    [N/2-1, n_bins] — N*n_bins MACs total vs 2*N*n_bins unfolded. The
+    analysis window folds into the banks only when symmetric (w[n] == w[N-n];
+    every periodic cosine-sum window is); returns None for asymmetric
+    windows (odd center-padding of win_length < n_fft) so callers fall back.
+    """
+    key = ("folded", n_fft, window, win_length)
+    if key not in _BANK_CACHE:
+        if n_fft % 2:
+            _BANK_CACHE[key] = None
+        else:
+            wl = win_length or n_fft
+            w = get_window(window, wl, periodic=True)
+            if wl < n_fft:
+                pad = n_fft - wl
+                w = np.pad(w, (pad // 2, pad - pad // 2))
+            half = n_fft // 2
+            hi, lo = w[1:half], w[half + 1 :][::-1]
+            if not np.allclose(hi, lo, rtol=0.0, atol=1e-12):
+                _BANK_CACHE[key] = None
+            else:
+                ws = 0.5 * (hi + lo)  # exact symmetrization (<= 1 ulp)
+                n_bins = half + 1
+                k = np.arange(n_bins, dtype=np.float64)[None, :]
+                n = np.arange(1, half, dtype=np.float64)[:, None]
+                ang = 2.0 * np.pi * n * k / n_fft
+                ce = np.empty((half + 1, n_bins), np.float64)
+                ce[0] = w[0]
+                ce[1:half] = np.cos(ang) * ws[:, None]
+                ce[half] = w[half] * np.where(np.arange(n_bins) % 2 == 0, 1.0, -1.0)
+                se = -np.sin(ang) * ws[:, None]
+                _BANK_CACHE[key] = (ce.astype(np.float32), se.astype(np.float32))
+    return _BANK_CACHE[key]
+
+
+def _rdft_folded(frames, n_fft, window, win_length, precision, dtype=jnp.float32):
+    """Windowed real DFT of frames [..., F, n_fft] -> (re, im) via the
+    symmetry-folded banks; None if the window cannot fold (caller falls
+    back to the plain matmul form)."""
+    banks = _folded_banks(n_fft, window, win_length)
+    if banks is None:
+        return None
+    ce, se = banks
+    half = n_fft // 2
+    head = frames[..., 1:half]
+    tail = frames[..., half + 1 :][..., ::-1]
+    even = jnp.concatenate(
+        [frames[..., 0:1], head + tail, frames[..., half : half + 1]], axis=-1
+    )
+    re = mm(even, jnp.asarray(ce, dtype), precision)
+    im = mm(head - tail, jnp.asarray(se, dtype), precision)
+    return re, im
 
 
 def _fourstep_factor(n_fft: int) -> int:
@@ -231,21 +306,30 @@ def spectrogram(
     if impl == "fft":
         spec = stft(x, n_fft, hop, win_length, window, center, pad_mode, dtype)
         return power_fn(spec) if power else magnitude(spec)
-    if impl not in ("matmul", "fourstep"):
+    if impl not in ("matmul", "folded", "fourstep"):
         raise ValueError(
-            f"unknown spectrogram impl {impl!r}; known: matmul, fourstep, fft"
+            f"unknown spectrogram impl {impl!r}; known: matmul, folded, fourstep, fft"
         )
     if center:
         widths = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         x = jnp.pad(x, widths, mode=pad_mode)
     frames = frame(x.astype(dtype), n_fft, hop)
     prec = precision or DFT_PRECISION_DEFAULT
+    out = None
     if impl == "fourstep":
-        re, im = _rdft_fourstep(frames, n_fft, window, win_length, prec)
-    else:
+        out = _rdft_fourstep(frames, n_fft, window, win_length, prec)
+    elif impl == "folded" or (impl == "matmul" and prec == "highest"):
+        # at "highest" (bf16x6) the DFT is MXU-compute-bound and the folded
+        # banks' 2x MAC cut wins (18.5 vs 20.2 ms at batch 256x10 s, rel
+        # 3.0e-7); at "high"/"default" the op is relayout-bound and the
+        # fold's extra reverse+add traffic LOSES (14.5 vs 13.3 ms), so the
+        # plain banks stay the default there. BENCHMARKS.md "Folded DFT".
+        out = _rdft_folded(frames, n_fft, window, win_length, prec, dtype)
+    if out is None:  # impl == "matmul", or folded's asymmetric-window fallback
         cosb, sinb = _dft_banks(n_fft, window, win_length)
-        re = mm(frames, jnp.asarray(cosb, dtype), prec)
-        im = mm(frames, jnp.asarray(sinb, dtype), prec)
+        out = (mm(frames, jnp.asarray(cosb, dtype), prec),
+               mm(frames, jnp.asarray(sinb, dtype), prec))
+    re, im = out
     p = re * re + im * im
     return p if power else jnp.sqrt(p)
 

@@ -138,6 +138,43 @@ def test_spectrogram_fourstep_matches_matmul(rng, power_flag):
     np.testing.assert_allclose(got, want, atol=2e-4 * want.max())
 
 
+@pytest.mark.parametrize("n_fft,hop,window", [(1024, 256, "hann"), (512, 128, "blackman"), (400, 160, "hamming")])
+def test_stft_folded_impl_matches_fft(rng, n_fft, hop, window):
+    """Symmetry-folded rDFT (pair n with N-n; half the MACs) == the FFT."""
+    x = rng.standard_normal(8192).astype(np.float32)
+    a = np.asarray(stft(jnp.asarray(x), n_fft, hop, window=window, impl="folded"))
+    b = np.asarray(stft(jnp.asarray(x), n_fft, hop, window=window, impl="fft"))
+    np.testing.assert_allclose(a, b, atol=1e-4 * np.abs(b).max())
+
+
+@pytest.mark.parametrize("power_flag", [True, False])
+def test_spectrogram_folded_matches_matmul(rng, power_flag):
+    from audioflow_tpu.ops import spectrogram
+
+    x = rng.standard_normal((3, 8192)).astype(np.float32)
+    got = np.asarray(
+        spectrogram(jnp.asarray(x), 1024, 256, power=power_flag, impl="folded")
+    )
+    want = np.asarray(
+        spectrogram(jnp.asarray(x), 1024, 256, power=power_flag, impl="matmul")
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4 * want.max())
+
+
+def test_folded_asymmetric_window_falls_back(rng):
+    """win_length < n_fft with odd padding breaks w[n] == w[N-n]; the folded
+    impl must detect it and produce plain-matmul results, not garbage."""
+    from audioflow_tpu.ops.stft import _folded_banks
+
+    # 1024 - 511 = 513 pad -> (256, 257): asymmetric
+    assert _folded_banks(1024, "hann", 511) is None
+    assert _folded_banks(1023, "hann", None) is None  # odd n_fft
+    x = rng.standard_normal(8192).astype(np.float32)
+    a = np.asarray(stft(jnp.asarray(x), 1024, 256, win_length=511, impl="folded"))
+    b = np.asarray(stft(jnp.asarray(x), 1024, 256, win_length=511, impl="fft"))
+    np.testing.assert_allclose(a, b, atol=1e-4 * np.abs(b).max())
+
+
 def test_fourstep_factor_balanced_and_divides():
     from audioflow_tpu.ops.stft import _fourstep_factor
 
