@@ -80,7 +80,10 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
         rate = 16000
         x = _tone_batch(batch, seconds, rate)
         fn = lambda z: time_stretch(z, 1.25, 1024, 256)  # noqa: E731
-        m = _measure(fn, x, batch * seconds, iters=4, sharded=False)
+        # iters=10: the fused kernel runs ~26 ms/iter at batch 256, so the
+        # tunnel's fixed ~25 ms post-scan scalar-readback latency inflates a
+        # 4-iter measurement by ~24% (measured 81k vs 100k x) — amortize it
+        m = _measure(fn, x, batch * seconds, iters=10, sharded=False)
     elif name in ("streaming", "config5"):
         from .graph import chain as _chain
         from .models import eq_bands_default
