@@ -19,6 +19,7 @@ Two execution modes:
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -114,19 +115,47 @@ class Graph:
             return jax.jit(lambda x: self.chain(x, taps=tuple(taps)), donate_argnums=donate_args)
         if chunked is False:
             return jax.jit(self.chain, donate_argnums=donate_args)
-        if chunked is True:
+        chunkable = self.streamable or self._decentered() is not None
+        if chunked is True and not chunkable:
             self._check_streamable()
 
         def run(x):
-            use = self.streamable and (
+            use = chunkable and (
                 chunked is True or x.shape[-1] >= self._CHUNKED_MIN_T
             )
             return self._chunked_chain(x) if use else self.chain(x)
 
         return jax.jit(run, donate_argnums=donate_args)
 
+    def _decentered(self):
+        """``(pad, graph)`` when the only barrier to the chunked form is a
+        center=True leading Stft/Spectrogram; None otherwise.
+
+        center=True framing of ``x`` is BY DEFINITION center=False framing of
+        ``pad(x, n_fft//2, mode='reflect')`` — identical frame count and
+        values — so the pad happens once outside the scan and the rest of
+        the chain streams. (True streaming, `compile_stream`, still requires
+        center=False: a live stream can never reflect its not-yet-seen
+        tail.)"""
+        from .nodes import Spectrogram, Stft
+
+        n0 = self.nodes[0]
+        if not isinstance(n0, (Stft, Spectrogram)) or not n0.center:
+            return None
+        if not all(n.streamable for n in self.nodes[1:]):
+            return None
+        g = dataclasses.replace(
+            self,
+            nodes=(dataclasses.replace(n0, center=False),) + tuple(self.nodes[1:]),
+        )
+        return n0.n_fft // 2, g
+
     def _chunked_chain(self, x: jnp.ndarray) -> jnp.ndarray:
         """Offline semantics via the streaming machinery (see compile)."""
+        if not self.streamable:
+            pad, g = self._decentered()  # compile() guarantees it exists
+            widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+            return g._chunked_chain(jnp.pad(x, widths, mode="reflect"))
         t = x.shape[-1]
         out_spec = jax.eval_shape(self.chain, x)
         domain = "samples"

@@ -361,9 +361,35 @@ def test_compile_chunked_equals_whole_array(rng):
     np.testing.assert_allclose(auto_b, off_b, atol=5e-5 * float(np.abs(off_b).max()))
 
 
+def test_compile_chunked_decenters_leading_center_node(rng):
+    """A leading center=True Stft/Spectrogram no longer blocks the chunked
+    form: center=True framing == center=False framing of the reflect-padded
+    signal, so compile() pads once outside the scan and streams the rest."""
+    from audioflow_tpu.graph import MelProject, Spectrogram
+
+    x = (0.3 * rng.standard_normal(100000)).astype(np.float32)
+    for g in (
+        chain(Stft(1024, 256, center=True), Magnitude(), input_rate=16000),
+        chain(Spectrogram(1024, 256, center=True, power=False), input_rate=16000),
+        chain(
+            Spectrogram(1024, 256, center=True), MelProject(n_mels=64),
+            input_rate=16000,
+        ),
+    ):
+        assert not g.streamable  # live streaming still can't reflect the tail
+        ref = np.asarray(g.compile(chunked=False)(jnp.asarray(x)))
+        ch = np.asarray(g.compile(chunked=True)(jnp.asarray(x)))
+        assert ch.shape == ref.shape
+        np.testing.assert_allclose(ch, ref, atol=5e-5 * float(np.abs(ref).max()))
+
+
 def test_compile_chunked_falls_back_for_unstreamable(rng):
-    g = chain(Stft(1024, 256, center=True), Magnitude(), input_rate=16000)
-    assert not g.streamable  # center=True cannot stream
+    from audioflow_tpu.graph import Gain
+
+    # center node NOT leading: the decentering identity doesn't apply (the
+    # pad would have to commute with the upstream node) -> whole-array path
+    g = chain(Gain(db=3.0), Stft(1024, 256, center=True), input_rate=16000)
+    assert not g.streamable
     x = (0.3 * rng.standard_normal(100000)).astype(np.float32)
     out = np.asarray(g.compile()(jnp.asarray(x)))  # auto: whole-array path
     ref = np.asarray(g.compile(chunked=False)(jnp.asarray(x)))
