@@ -84,6 +84,20 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
         # tunnel's fixed ~25 ms post-scan scalar-readback latency inflates a
         # 4-iter measurement by ~24% (measured 81k vs 100k x) — amortize it
         m = _measure(fn, x, batch * seconds, iters=10, sharded=False)
+    elif name == "pitch":
+        # the other half of config 4's definition ("time-stretch/pitch-shift
+        # with ISTFT round-trip"): fused Pallas stretch + polyphase resample.
+        # +12 semitones (stretch rate exactly 1/2) so the fused kernel path
+        # is what gets measured: the kernel requires an exact small-rational
+        # rate (denominator <= 12), so irrational 2^(k/12) rates route via
+        # the XLA matmul path instead (its cost is the config-4 XLA row).
+        from .ops import pitch_shift
+
+        batch = batch or 64
+        rate = 16000
+        x = _tone_batch(batch, seconds, rate)
+        fn = lambda z: pitch_shift(z, 12.0, rate, 1024, 256)  # noqa: E731
+        m = _measure(fn, x, batch * seconds, iters=10, sharded=False)
     elif name in ("streaming", "config5"):
         from .graph import chain as _chain
         from .models import eq_bands_default

@@ -153,14 +153,20 @@ def pitch_shift(
 ) -> jnp.ndarray:
     """Shift pitch by ``semitones`` at constant duration: stretch then resample.
 
-    The resample step reuses the polyphase-matmul kernel with the rational
-    approximation of 2^(semitones/12).
+    The resample step reuses the polyphase-matmul kernel with a small
+    rational approximation of 2^(semitones/12) (denominator <= 64, pitch
+    error < 1 cent): only the RATIO matters to the resampler, and a
+    numerator like ``int(sample_rate * factor)`` is usually coprime with the
+    sample rate, which would explode the polyphase bank to ``sample_rate``
+    phases (a multi-minute host-side plan build at 16 kHz).
     """
+    from fractions import Fraction
+
     factor = 2.0 ** (semitones / 12.0)
     stretched = time_stretch(x, rate=1.0 / factor, n_fft=n_fft, hop=hop)
     # resample stretched (duration *factor) back to original length
-    new_rate = max(1, int(round(sample_rate * factor)))
-    y = resample(stretched, new_rate, sample_rate, mode=resample_mode)
+    fr = Fraction(factor).limit_denominator(64)
+    y = resample(stretched, fr.numerator, fr.denominator, mode=resample_mode)
     t = x.shape[-1]
     if y.shape[-1] < t:
         pads = [(0, 0)] * (y.ndim - 1) + [(0, t - y.shape[-1])]

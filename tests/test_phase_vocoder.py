@@ -41,6 +41,21 @@ def test_pitch_shift_moves_frequency():
     assert abs(got - 2 * f0) < 15.0
 
 
+def test_pitch_shift_irrational_factor_small_bank():
+    # 2^(7/12) is irrational: the resample ratio must come from a small
+    # rational approximation (denominator <= 64), not int(sr * factor) vs sr
+    # (coprime with 16000 -> a 16000-phase polyphase bank and a multi-minute
+    # host-side plan build). Accuracy bar: < 1 cent pitch error end to end.
+    sr, f0 = 16000, 440.0
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    up = np.asarray(pitch_shift(jnp.asarray(x), 7.0, sample_rate=sr))
+    assert up.shape == x.shape
+    got = _dominant_freq(up[2048:-2048], sr)
+    want = f0 * 2 ** (7 / 12)
+    assert abs(got - want) < 15.0
+
+
 def test_phase_vocoder_spec_shape(rng):
     x = jnp.asarray(rng.standard_normal(8192).astype(np.float32))
     spec = stft(x, n_fft=1024, hop=256)
