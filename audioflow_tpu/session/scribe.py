@@ -134,7 +134,11 @@ class ScribeSession:
 
     # ------------------------------------------------------------------ poll
     def poll(self, timeout: float | None = 0.0) -> dict | None:
-        """Next TranscriptionResult dict or None (non-blocking by default)."""
+        """Next TranscriptionResult dict or None (non-blocking by default).
+
+        ``timeout`` of 0/None means non-blocking; positive waits that long.
+        There is deliberately no block-forever mode (a dead session would
+        hang the caller)."""
         try:
             return self._results.get(timeout=timeout) if timeout else self._results.get_nowait()
         except queue.Empty:
@@ -196,6 +200,8 @@ class ScribeSession:
     def _reconnect(self) -> bool:
         """Reconnect + re-configure, preserving session_id/partial buffer.
         Returns False when giving up (auto_reconnect off or retries spent)."""
+        if self._closing.is_set():
+            return False
         if not self.config.auto_reconnect:
             self._events.put(
                 ScribeEvent(ScribeEventKind.ERROR, message="connection lost (auto_reconnect off)")
@@ -206,6 +212,12 @@ class ScribeSession:
         try:
             self.client.close()
             self.client.connect_with_retry()
+            if self._closing.is_set():
+                # close() ran while we were inside the retry backoff: don't
+                # resurrect the session it just tore down (zombie rx thread
+                # holding a fresh socket past close)
+                self.client.close()
+                return False
             self.client.send_init_config(self.config.model_id, self.config.language_code)
         except IOError_ as err:
             self._events.put(ScribeEvent(ScribeEventKind.ERROR, message=f"reconnect failed: {err}"))

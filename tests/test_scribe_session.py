@@ -243,3 +243,38 @@ def test_no_auto_reconnect_surfaces_error():
     s.close()
     assert ScribeEventKind.ERROR in kinds
     assert s.reconnect_count == 0
+
+
+def test_close_racing_reconnect_leaves_no_zombie():
+    """close() landing inside _reconnect's retry window must not resurrect
+    the session: the rx thread would otherwise hold a fresh socket (and send
+    a configure) past close(). The race window is microseconds wide, so the
+    guard is exercised by injecting the close between connect_with_retry and
+    send_init_config."""
+    srv = MultiScribeServer([{}, {}])
+    srv.start()
+    s = _session(srv.port)
+    s.connect()
+    while s.session_id is None:
+        time.sleep(0.01)
+    s.close()  # rx thread gone; now drive _reconnect directly (as rx would)
+    s._closing.clear()  # back to "running" state for the unit-level race
+
+    orig_connect = s.client.connect_with_retry
+
+    def racing_connect():
+        orig_connect()
+        s._closing.set()  # close() lands exactly here
+
+    s.client.connect_with_retry = racing_connect
+    assert s._reconnect() is False
+    assert s.reconnect_count == 0
+    assert s.client.state is not ConnectionState.CONNECTED
+    time.sleep(0.1)
+    assert srv.configures == 1  # no configure on the resurrected socket
+
+    # and the pre-check: a session already closing never dials out at all
+    s2 = _session(srv.port)
+    s2._closing.set()
+    assert s2._reconnect() is False
+    assert srv.connections <= 2
