@@ -22,7 +22,11 @@ def _tone_batch(batch: int, seconds: float, rate: int, seed: int = 0) -> np.ndar
     return x.astype(np.float32)
 
 
-def _measure(graph_fn, x, audio_seconds, iters=8, sharded=False):
+# iters=10 everywhere: the tunnel charges a fixed ~22-25 ms post-scan
+# scalar-readback latency per measured loop call; at 4 iterations that tax
+# inflated per-iter times by 25-40% on the fast configs (config 2 measured
+# 21.1 ms/iter at iters=4 vs 15.4 ms at iters=10 — identical program).
+def _measure(graph_fn, x, audio_seconds, iters=10, sharded=False):
     if sharded:
         from .parallel import compile_sharded, make_mesh, shard_batch
 
@@ -54,7 +58,7 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
         rate = 44100
         x = _tone_batch(batch, seconds, rate)
         g = log_mel_frontend(rate, 16000, 1024, 256, 128)
-        m = _measure(g, x, batch * seconds, iters=4, sharded=sharded)
+        m = _measure(g, x, batch * seconds, sharded=sharded)
     elif name == "logmel_stream":
         # the headline: same decode->resample->log-mel computation, run in
         # the framework's chunked-scan streaming mode — ~30% faster than the
@@ -68,7 +72,7 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
         t = x.shape[-1] // chunk * chunk
         x = jnp.asarray(x[:, :t])
         fn = jax.jit(lambda b: g.scan_stream(b, chunk))
-        m = measure_throughput(fn, x, batch * t / rate, iters=4)
+        m = measure_throughput(fn, x, batch * t / rate, iters=10)
     elif name in ("master", "eq", "config3"):
         batch = batch or 64
         rate = 16000
@@ -126,10 +130,10 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
             mesh = make_mesh()
             xs = shard_batch(x, mesh)
             fn = jax.jit(lambda b: g.scan_stream(b, chunk), in_shardings=(batch_sharding(mesh, 2),))
-            m = measure_throughput(fn, xs, batch * t / rate, iters=4)
+            m = measure_throughput(fn, xs, batch * t / rate, iters=10)
             m.n_devices = mesh.devices.size
         else:
-            m = measure_throughput(fn, jnp.asarray(x), batch * t / rate, iters=4)
+            m = measure_throughput(fn, jnp.asarray(x), batch * t / rate, iters=10)
     elif name in ("session", "session_drain"):
         # live push-path throughput: StreamSession's device-ring + lazy
         # results, one host dispatch chain per chunk. Dominated by this

@@ -5,7 +5,22 @@ Everything here is pure-functional jnp/Pallas code with static shapes, meant
 to be composed by :mod:`audioflow_tpu.graph` into one jitted XLA program.
 """
 
-from . import biquad, dynamics, framing, mel, phase_vocoder, quantize, resample, ring, stft, vad, windows
+from . import (
+    biquad,
+    dynamics,
+    features,
+    framing,
+    griffinlim,
+    loudness,
+    mel,
+    phase_vocoder,
+    quantize,
+    resample,
+    ring,
+    stft,
+    vad,
+    windows,
+)
 from ._mm import get_default_matmul_precision, set_default_matmul_precision
 from .biquad import (
     Biquad,
@@ -33,7 +48,29 @@ from .dynamics import (
     rms_normalize,
     to_mono,
 )
+from .features import (
+    fft_frequencies,
+    frame_rms,
+    spectral_bandwidth,
+    spectral_centroid,
+    spectral_features,
+    spectral_flatness,
+    spectral_flux,
+    spectral_rolloff,
+    zero_crossing_rate,
+)
 from .framing import frame, num_frames, overlap_add
+from .griffinlim import griffin_lim
+from .loudness import (
+    integrated_loudness,
+    k_weight,
+    k_weighting,
+    loudness_range,
+    momentary_loudness,
+    normalize_loudness,
+    shortterm_loudness,
+    true_peak,
+)
 from .mel import apply_mel, dct_matrix, log_mel, mel_filterbank, mfcc
 from .phase_vocoder import phase_vocoder, pitch_shift, time_stretch
 from .quantize import dequantize_i16, quantize_i16, quantize_i16_round

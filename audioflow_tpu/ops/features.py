@@ -1,0 +1,133 @@
+"""Frame-level spectral/time-domain descriptors.
+
+The classic analysis feature family (librosa conventions, so outputs are
+oracle-checkable): spectral centroid / bandwidth / rolloff / flatness /
+flux, zero-crossing rate, frame RMS. All are cheap VPU reductions over a
+spectrogram the MXU already produced — XLA fuses them into the spectrogram
+consumer, so a features tap costs almost nothing on top of a log-mel
+pipeline.
+
+Spectral inputs are magnitude (not power) spectrograms ``[..., F, bins]``
+unless noted; time-domain inputs are signals ``[..., T]``. The reference app
+computes only VAD energy (vad.rs:157-176); these extend the same
+"per-frame descriptor" idea to the standard analysis set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .framing import frame
+
+
+def fft_frequencies(sample_rate: float, n_fft: int) -> np.ndarray:
+    """Bin center frequencies [n_fft//2 + 1] (host-side, f64)."""
+    return np.arange(n_fft // 2 + 1, dtype=np.float64) * sample_rate / n_fft
+
+
+def spectral_centroid(
+    mag: jnp.ndarray, sample_rate: float, n_fft: int, eps: float = 1e-10
+) -> jnp.ndarray:
+    """First spectral moment per frame, Hz ``[..., F]``."""
+    f = jnp.asarray(fft_frequencies(sample_rate, n_fft), mag.dtype)
+    norm = jnp.maximum(mag.sum(axis=-1), eps)
+    return (mag * f).sum(axis=-1) / norm
+
+
+def spectral_bandwidth(
+    mag: jnp.ndarray, sample_rate: float, n_fft: int, p: float = 2.0, eps: float = 1e-10
+) -> jnp.ndarray:
+    """p-th order spectral moment about the centroid, Hz ``[..., F]``."""
+    f = jnp.asarray(fft_frequencies(sample_rate, n_fft), mag.dtype)
+    c = spectral_centroid(mag, sample_rate, n_fft, eps)
+    norm = jnp.maximum(mag.sum(axis=-1), eps)
+    dev = jnp.abs(f - c[..., None]) ** p
+    return ((mag * dev).sum(axis=-1) / norm) ** (1.0 / p)
+
+
+def spectral_rolloff(
+    mag: jnp.ndarray, sample_rate: float, n_fft: int, roll_percent: float = 0.85
+) -> jnp.ndarray:
+    """Frequency below which ``roll_percent`` of spectral energy lies,
+    Hz ``[..., F]`` (lowest bin whose cumulative magnitude crosses the
+    threshold — librosa's definition)."""
+    f = jnp.asarray(fft_frequencies(sample_rate, n_fft), mag.dtype)
+    cum = jnp.cumsum(mag, axis=-1)
+    thresh = roll_percent * cum[..., -1:]
+    hit = cum >= thresh  # monotone: first True stays True
+    # index of first crossing = argmax over the boolean mask
+    idx = jnp.argmax(hit, axis=-1)
+    return f[idx]
+
+
+def spectral_flatness(mag: jnp.ndarray, eps: float = 1e-10, power: float = 2.0) -> jnp.ndarray:
+    """Geometric/arithmetic mean ratio of the power spectrum, ``[..., F]``
+    in (0, 1]; 1 = white noise, -> 0 = pure tone. ``power=2`` matches
+    librosa (flatness of ``mag**2``)."""
+    s = jnp.maximum(mag, eps) ** power
+    gmean = jnp.exp(jnp.mean(jnp.log(s), axis=-1))
+    amean = jnp.mean(s, axis=-1)
+    return gmean / amean
+
+
+def spectral_flux(mag: jnp.ndarray, norm: bool = True, rectify: bool = False) -> jnp.ndarray:
+    """L2 distance between consecutive frames ``[..., F]`` (frame 0 fluxes
+    against itself = 0). ``rectify=True`` keeps only increases (the onset-
+    detection convention); ``norm`` L1-normalizes each frame first so flux
+    measures shape change, not level change."""
+    if norm:
+        mag = mag / jnp.maximum(mag.sum(axis=-1, keepdims=True), 1e-10)
+    prev = jnp.concatenate([mag[..., :1, :], mag[..., :-1, :]], axis=-2)
+    d = mag - prev
+    if rectify:
+        d = jnp.maximum(d, 0.0)
+    return jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+
+def zero_crossing_rate(x: jnp.ndarray, frame_length: int = 2048, hop: int = 512) -> jnp.ndarray:
+    """Fraction of sign changes per frame ``[..., F]`` (librosa convention:
+    zero counts as positive side via >= 0)."""
+    fr = frame(x, frame_length, hop)
+    pos = fr >= 0.0
+    changes = pos[..., 1:] != pos[..., :-1]
+    return changes.mean(axis=-1)
+
+
+def frame_rms(x: jnp.ndarray, frame_length: int = 2048, hop: int = 512) -> jnp.ndarray:
+    """Root-mean-square level per frame ``[..., F]`` (true RMS, with sqrt —
+    unlike the reference VAD's mean-square 'RMS', ops/vad.py)."""
+    fr = frame(x, frame_length, hop)
+    return jnp.sqrt(jnp.mean(fr * fr, axis=-1))
+
+
+_FEATURES = ("centroid", "bandwidth", "rolloff", "flatness", "flux")
+
+
+def spectral_features(
+    mag: jnp.ndarray,
+    sample_rate: float,
+    n_fft: int,
+    features: tuple[str, ...] = _FEATURES,
+) -> jnp.ndarray:
+    """Stack named spectral descriptors -> ``[..., F, len(features)]``.
+
+    One fused elementwise/reduction pass over a magnitude spectrogram;
+    the feature axis ordering follows ``features``.
+    """
+    cols = []
+    for name in features:
+        if name == "centroid":
+            cols.append(spectral_centroid(mag, sample_rate, n_fft))
+        elif name == "bandwidth":
+            cols.append(spectral_bandwidth(mag, sample_rate, n_fft))
+        elif name == "rolloff":
+            cols.append(spectral_rolloff(mag, sample_rate, n_fft))
+        elif name == "flatness":
+            cols.append(spectral_flatness(mag))
+        elif name == "flux":
+            cols.append(spectral_flux(mag))
+        else:
+            raise ValueError(f"unknown spectral feature {name!r}; known: {_FEATURES}")
+    return jnp.stack(cols, axis=-1)

@@ -66,6 +66,15 @@ def stft(
         re = mm(frames, jnp.asarray(cosb, dtype), p)
         im = mm(frames, jnp.asarray(sinb, dtype), p)
         return jax.lax.complex(re, im)
+    if impl == "onedot":
+        p = precision or DFT_PRECISION_DEFAULT
+        if n_fft % 2 == 0:
+            re, im = _rdft_onedot(frames, n_fft, window, win_length, p, dtype)
+        else:  # odd n_fft: the zero sin columns don't exist; plain banks
+            cosb, sinb = _dft_banks(n_fft, window, win_length)
+            re = mm(frames, jnp.asarray(cosb, dtype), p)
+            im = mm(frames, jnp.asarray(sinb, dtype), p)
+        return jax.lax.complex(re, im)
     if impl == "fourstep":
         p = precision or DFT_PRECISION_DEFAULT
         re, im = _rdft_fourstep(frames, n_fft, window, win_length, p)
@@ -80,7 +89,7 @@ def stft(
         return jax.lax.complex(*out)
     if impl != "fft":
         raise ValueError(
-            f"unknown stft impl {impl!r}; known: fft, matmul, folded, fourstep"
+            f"unknown stft impl {impl!r}; known: fft, matmul, onedot, folded, fourstep"
         )
     w = get_window(window, win_length, periodic=True)
     if win_length < n_fft:  # center-pad window to n_fft
@@ -197,6 +206,109 @@ def _rdft_folded(frames, n_fft, window, win_length, precision, dtype=jnp.float32
     return re, im
 
 
+def _combined_banks(n_fft: int, window: str, win_length: int | None):
+    """Concatenated cos|sin windowed rDFT bank, shape [n_fft, n_fft] exactly.
+
+    The plain form runs two [.., n_fft] @ [n_fft, n_fft//2+1] dots; the MXU
+    pads each 513-column output up to the next 128-lane multiple (640), so
+    the two dots execute 2x640 effective columns. The sin bank's k=0 and
+    k=n_fft/2 columns are identically zero, so cos (513 cols) | sin (511
+    cols, k=1..511) concatenate to exactly n_fft columns: ONE dot with zero
+    pad waste and half the dispatches — 1.25x fewer effective MACs for the
+    identical result. Requires n_fft even.
+    """
+    key = ("onedot", n_fft, window, win_length)
+    if key not in _BANK_CACHE:
+        cosb, sinb = _dft_banks(n_fft, window, win_length)
+        _BANK_CACHE[key] = np.concatenate([cosb, sinb[:, 1 : n_fft // 2]], axis=1)
+    return _BANK_CACHE[key]
+
+
+def _rdft_onedot(frames, n_fft, window, win_length, precision, dtype=jnp.float32):
+    """Windowed real DFT of frames [..., F, n_fft] -> (re, im) via the single
+    combined-bank dot (see :func:`_combined_banks`)."""
+    cb = _combined_banks(n_fft, window, win_length)
+    y = mm(frames, jnp.asarray(cb, dtype), precision)
+    half = n_fft // 2
+    re = y[..., : half + 1]
+    pad = [(0, 0)] * (y.ndim - 1) + [(1, 1)]
+    im = jnp.pad(y[..., half + 1 :], pad)
+    return re, im
+
+
+def _radix2_banks(n_fft: int, window: str, win_length: int | None):
+    """Even/odd decimation-in-time banks: two [n_fft/2, n_fft/2] combined
+    rDFT banks (window folded per parity) + twiddle vectors c,s [n_fft/2+1].
+
+    X[k] = E[k] + t_k O[k], t_k = exp(-2j*pi*k/n_fft), where E/O are the
+    rDFT-(n_fft/2) of the even/odd samples — HALF the MACs of the direct
+    bank at the price of an elementwise combine on output-sized data. Each
+    half bank is itself the combined cos|sin layout (n_fft/2 columns, zero
+    pad waste). Requires n_fft % 4 == 0.
+    """
+    key = ("radix2", n_fft, window, win_length)
+    if key not in _BANK_CACHE:
+        wl = win_length or n_fft
+        w = get_window(window, wl, periodic=True)
+        if wl < n_fft:
+            pad = n_fft - wl
+            w = np.pad(w, (pad // 2, pad - pad // 2))
+        h = n_fft // 2
+        nb = h // 2 + 1
+        k = np.arange(h, dtype=np.float64)[:, None] * np.arange(nb)[None, :]
+        ang = 2.0 * np.pi * k / h
+        cos_, sin_ = np.cos(ang), -np.sin(ang)
+
+        def bank(wp):
+            b = np.concatenate([cos_ * wp[:, None], (sin_ * wp[:, None])[:, 1 : nb - 1]], axis=1)
+            return b.astype(np.float32)
+
+        th = 2.0 * np.pi * np.arange(h + 1, dtype=np.float64) / n_fft
+        _BANK_CACHE[key] = (
+            bank(w[0::2]),
+            bank(w[1::2]),
+            np.cos(th).astype(np.float32),
+            np.sin(th).astype(np.float32),
+        )
+    return _BANK_CACHE[key]
+
+
+def _halfspec_full(y, h):
+    """Expand a combined-layout rDFT-h output [..., h] = [re 0..h/2 | im
+    1..h/2-1] to (re, im) over bins 0..h via conjugate symmetry
+    (E[k] = conj(E[h-k]); bins h/2..h wrap periodically for the radix-2
+    combine, which indexes E at k mod h)."""
+    q = h // 2
+    re = y[..., : q + 1]
+    imc = y[..., q + 1 :]  # bins 1..q-1
+    z = jnp.zeros_like(y[..., :1])
+    re_f = jnp.concatenate([re, jnp.flip(re[..., 1:q], -1), re[..., :1]], axis=-1)
+    im_f = jnp.concatenate([z, imc, z, -jnp.flip(imc, -1), z], axis=-1)
+    return re_f, im_f
+
+
+def _rdft_radix2(x, n_fft, hop, window, win_length, precision, dtype=jnp.float32):
+    """Windowed real DFT of all frames of signal x [..., T] -> (re, im)
+    [..., F, n_fft//2+1] via even/odd decimation (see :func:`_radix2_banks`).
+
+    Deinterleaves the SIGNAL (input-sized traffic), then frames each parity
+    half at (n_fft/2, hop/2) — frames_e[i] are exactly the even samples of
+    frame i, so the 4x frame materialization never touches duplicated data
+    beyond what the plain path already materializes.
+    """
+    be, bo, c, s = (jnp.asarray(b, dtype) for b in _radix2_banks(n_fft, window, win_length))
+    h = n_fft // 2
+    fe = frame(x[..., 0::2], h, hop // 2)
+    fo = frame(x[..., 1::2], h, hop // 2)
+    ye = mm(fe, be, precision)
+    yo = mm(fo, bo, precision)
+    re_e, im_e = _halfspec_full(ye, h)
+    re_o, im_o = _halfspec_full(yo, h)
+    re = re_e + c * re_o + s * im_o
+    im = im_e + c * im_o - s * re_o
+    return re, im
+
+
 def _fourstep_factor(n_fft: int) -> int:
     """Inner factor N1 for the four-step DFT: the power of two nearest
     sqrt(n_fft) that divides it (balanced factors minimize total flops)."""
@@ -306,15 +418,20 @@ def spectrogram(
     if impl == "fft":
         spec = stft(x, n_fft, hop, win_length, window, center, pad_mode, dtype)
         return power_fn(spec) if power else magnitude(spec)
-    if impl not in ("matmul", "folded", "fourstep"):
+    if impl not in ("matmul", "folded", "fourstep", "onedot", "radix2"):
         raise ValueError(
-            f"unknown spectrogram impl {impl!r}; known: matmul, folded, fourstep, fft"
+            f"unknown spectrogram impl {impl!r}; "
+            "known: matmul, folded, fourstep, onedot, radix2, fft"
         )
     if center:
         widths = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         x = jnp.pad(x, widths, mode=pad_mode)
-    frames = frame(x.astype(dtype), n_fft, hop)
     prec = precision or DFT_PRECISION_DEFAULT
+    if impl == "radix2" and n_fft % 4 == 0 and hop % 2 == 0 and x.shape[-1] % 2 == 0:
+        re, im = _rdft_radix2(x.astype(dtype), n_fft, hop, window, win_length, prec, dtype)
+        p = re * re + im * im
+        return p if power else jnp.sqrt(p)
+    frames = frame(x.astype(dtype), n_fft, hop)
     out = None
     if impl == "fourstep":
         out = _rdft_fourstep(frames, n_fft, window, win_length, prec)
@@ -325,7 +442,31 @@ def spectrogram(
         # fold's extra reverse+add traffic LOSES (14.5 vs 13.3 ms), so the
         # plain banks stay the default there. BENCHMARKS.md "Folded DFT".
         out = _rdft_folded(frames, n_fft, window, win_length, prec, dtype)
-    if out is None:  # impl == "matmul", or folded's asymmetric-window fallback
+    if (
+        out is None
+        and (impl in ("onedot", "radix2") or (impl == "matmul" and not power))
+        and n_fft % 2 == 0
+    ):
+        # "onedot" (and "radix2"'s fallback when its divisibility
+        # preconditions fail): one combined-bank dot, zero pad waste
+        # (see _combined_banks). Auto-selected for power=False under
+        # impl="matmul": measured 11.04 vs 12.51 ms standalone at batch
+        # 256x10 s (+13%, bit-identical, 6.7x faster compile). power=True
+        # keeps the two-dot form: when a mel matmul consumes the output,
+        # the onedot 513-boundary pad/slice breaks XLA's power->mel fusion
+        # (13.17 vs 11.81 ms measured) — BENCHMARKS.md "Combined-bank DFT".
+        if power:
+            # square in the packed [.., n_fft] layout first: the mis-aligned
+            # 513-boundary slice then touches squared (output) data only
+            cb = _combined_banks(n_fft, window, win_length)
+            y = mm(frames, jnp.asarray(cb, dtype), prec)
+            ysq = y * y
+            half = n_fft // 2
+            pad = [(0, 0)] * (y.ndim - 1) + [(1, 1)]
+            p = ysq[..., : half + 1] + jnp.pad(ysq[..., half + 1 :], pad)
+            return p
+        out = _rdft_onedot(frames, n_fft, window, win_length, prec, dtype)
+    if out is None:  # odd n_fft, or folded's asymmetric-window fallback
         cosb, sinb = _dft_banks(n_fft, window, win_length)
         out = (mm(frames, jnp.asarray(cosb, dtype), prec),
                mm(frames, jnp.asarray(sinb, dtype), prec))

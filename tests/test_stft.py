@@ -210,3 +210,63 @@ def test_stft_bad_impl():
         stft(jnp.zeros(4096), impl="nope")
     with pytest.raises(ValueError):
         istft(jnp.zeros((4, 513), jnp.complex64), impl="nope")
+
+
+@pytest.mark.parametrize("power_flag", [True, False])
+@pytest.mark.parametrize("center", [True, False])
+def test_spectrogram_onedot_matches_fft(rng, power_flag, center):
+    """Combined cos|sin bank (sin's identically-zero k=0 / k=N/2 columns
+    dropped -> exactly n_fft columns, one zero-pad-waste MXU dot) == FFT."""
+    from audioflow_tpu.ops import spectrogram
+
+    x = rng.standard_normal((3, 8192)).astype(np.float32)
+    got = np.asarray(
+        spectrogram(jnp.asarray(x), 1024, 256, power=power_flag, center=center, impl="onedot")
+    )
+    want = np.asarray(
+        spectrogram(jnp.asarray(x), 1024, 256, power=power_flag, center=center, impl="fft")
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4 * want.max())
+
+
+@pytest.mark.parametrize("n_fft,hop,window", [(1024, 256, "hann"), (512, 128, "hamming"), (256, 64, "blackman")])
+@pytest.mark.parametrize("power_flag", [True, False])
+def test_spectrogram_radix2_matches_fft(rng, n_fft, hop, window, power_flag):
+    """Even/odd decimation-in-time (two half-size combined-bank dots + an
+    elementwise twiddle combine; half the MACs) == FFT."""
+    from audioflow_tpu.ops import spectrogram
+
+    x = rng.standard_normal((3, 8192)).astype(np.float32)
+    got = np.asarray(
+        spectrogram(jnp.asarray(x), n_fft, hop, window=window, power=power_flag, impl="radix2")
+    )
+    want = np.asarray(
+        spectrogram(jnp.asarray(x), n_fft, hop, window=window, power=power_flag, impl="fft")
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4 * want.max())
+
+
+def test_spectrogram_radix2_falls_back_when_indivisible(rng):
+    """Odd hop (or odd signal length) can't split by parity; radix2 must
+    fall back to the onedot form, same results."""
+    from audioflow_tpu.ops import spectrogram
+
+    x = rng.standard_normal((2, 8191)).astype(np.float32)  # odd length
+    got = np.asarray(spectrogram(jnp.asarray(x), 1024, 256, center=False, impl="radix2"))
+    want = np.asarray(spectrogram(jnp.asarray(x), 1024, 256, center=False, impl="fft"))
+    np.testing.assert_allclose(got, want, atol=2e-4 * want.max())
+
+
+def test_spectrogram_radix2_win_length(rng):
+    """The analysis window folds into the per-parity banks (w[2n] / w[2n+1]);
+    a center-padded shorter window must fold correctly too."""
+    from audioflow_tpu.ops import spectrogram
+
+    x = rng.standard_normal(8192).astype(np.float32)
+    got = np.asarray(
+        spectrogram(jnp.asarray(x), 1024, 256, win_length=768, impl="radix2")
+    )
+    want = np.asarray(
+        spectrogram(jnp.asarray(x), 1024, 256, win_length=768, impl="fft")
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4 * want.max())
