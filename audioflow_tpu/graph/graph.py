@@ -390,7 +390,10 @@ class Graph:
                 x = jnp.where(pos.reshape(shape) >= warmups[i], x, 0)
             if node.domain_out != "any":
                 domain = node.domain_out
-            carry, x = node.step(carry, x)
+            if node.wants_first_index:
+                carry, x = node.step(carry, x, first_index=warmups[i] - k * lens[i])
+            else:
+                carry, x = node.step(carry, x)
             if pending is not None:
                 axis = self._stream_axis(node) % x.ndim
                 n_out = x.shape[axis]

@@ -56,6 +56,12 @@ class Node:
     domain_in = "samples"
     domain_out = "samples"
     streamable = True
+    # When True, Graph.stream_step passes step(carry, chunk, first_index=i)
+    # where i is the chunk-relative index of the stream's first real (offline
+    # position 0) sample — negative once passed, >= chunk length before it
+    # arrives. For nodes whose edge convention is position-dependent and so
+    # not a zero-input fixpoint (Preemphasis' Kaldi y[0] = x[0] - k*x[0]).
+    wants_first_index = False
     # When True, Graph.stream_step does NOT zero this node's upstream-warmup
     # input region (Graph._warmups). Default False is right for recursive/
     # accumulating nodes (biquad, limiter, VAD EMA): offline they start from
@@ -263,6 +269,74 @@ class Limiter(Node):
         thresh = 10.0 ** (self.threshold_db / 20.0)
         g = jnp.minimum(1.0, thresh / jnp.maximum(env, 1e-30))
         return env[..., -1], chunk * g
+
+
+@register_node
+@dataclass(frozen=True)
+class Compressor(Node):
+    """Downward compressor (threshold/ratio/knee); envelope carry makes
+    streaming exact, same machinery as :class:`Limiter`."""
+
+    threshold_db: float = -20.0
+    ratio: float = 4.0
+    release_ms: float = 100.0
+    knee_db: float = 0.0
+    sample_rate: int | None = None
+
+    def _coeff(self) -> float:
+        if self.sample_rate is None:
+            raise AudioError("Compressor.sample_rate unresolved; set input_rate on the graph")
+        return float(np.exp(-1.0 / (self.release_ms * 1e-3 * self.sample_rate)))
+
+    def apply(self, x):
+        return ops.compressor(
+            x, self.threshold_db, self.ratio, self.release_ms, self.sample_rate, self.knee_db
+        )
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros(lead_shape, dtype)
+
+    def step(self, carry, chunk):
+        r = self._coeff()
+        env = ops.dynamics.envelope_peak_release(jnp.abs(chunk), r)
+        t = chunk.shape[-1]
+        decay = carry[..., None] * (r ** jnp.arange(1, t + 1, dtype=chunk.dtype))
+        env = jnp.maximum(env, decay)
+        g = ops.dynamics.compressor_gain(env, self.threshold_db, self.ratio, self.knee_db)
+        return env[..., -1], chunk * g
+
+
+@register_node
+@dataclass(frozen=True)
+class NoiseGate(Node):
+    """Hard downward gate below ``threshold_db`` (attenuates by ``floor_db``);
+    same exact-streaming envelope carry as :class:`Limiter`."""
+
+    threshold_db: float = -60.0
+    release_ms: float = 100.0
+    floor_db: float = -80.0
+    sample_rate: int | None = None
+
+    def _coeff(self) -> float:
+        if self.sample_rate is None:
+            raise AudioError("NoiseGate.sample_rate unresolved; set input_rate on the graph")
+        return float(np.exp(-1.0 / (self.release_ms * 1e-3 * self.sample_rate)))
+
+    def apply(self, x):
+        return ops.noise_gate(
+            x, self.threshold_db, self.release_ms, self.sample_rate, self.floor_db
+        )
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros(lead_shape, dtype)
+
+    def step(self, carry, chunk):
+        r = self._coeff()
+        env = ops.dynamics.envelope_peak_release(jnp.abs(chunk), r)
+        t = chunk.shape[-1]
+        decay = carry[..., None] * (r ** jnp.arange(1, t + 1, dtype=chunk.dtype))
+        env = jnp.maximum(env, decay)
+        return env[..., -1], chunk * ops.dynamics.gate_gain(env, self.threshold_db, self.floor_db)
 
 
 @register_node
@@ -566,22 +640,36 @@ class Preemphasis(Node):
     """ASR-standard first-order high-pass (y[n] = x[n] - k*x[n-1]).
 
     Streaming carries the previous chunk's last sample so streamed == offline.
+    The Kaldi edge convention (y[0] = x[0] - k*x[0], i.e. prev of the very
+    first sample is the sample itself) is position-dependent, so unlike
+    every zero-prehistory recurrence it is NOT a fixpoint of zero input:
+    downstream of a latency-bearing node, the graph's warmup zeroing alone
+    would make the first real sample read prev=0. The node therefore opts
+    into ``wants_first_index`` and the graph passes the offline position of
+    sample 0 (``Graph._warmups``) so the edge convention lands on the right
+    sample regardless of upstream latency.
     """
 
     coeff: float = 0.97
+    wants_first_index = True
 
     def apply(self, x):
         return ops.preemphasis(x, self.coeff)
 
     def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
-        # (previous sample, started flag) — the flag reproduces the offline
-        # Kaldi edge convention y[0] = x[0] - k*x[0] exactly on chunk 0
+        # (previous sample, started flag); the flag serves direct step()
+        # callers — inside a Graph, first_index supersedes it
         return (jnp.zeros((*lead_shape, 1), dtype), jnp.zeros((*lead_shape, 1), bool))
 
-    def step(self, carry, chunk):
+    def step(self, carry, chunk, first_index=None):
         prev_sample, started = carry
-        prev0 = jnp.where(started, prev_sample, chunk[..., :1])
-        prev = jnp.concatenate([prev0, chunk[..., :-1]], axis=-1)
+        if first_index is None:
+            prev0 = jnp.where(started, prev_sample, chunk[..., :1])
+            prev = jnp.concatenate([prev0, chunk[..., :-1]], axis=-1)
+        else:
+            prev = jnp.concatenate([prev_sample, chunk[..., :-1]], axis=-1)
+            pos = jnp.arange(chunk.shape[-1])
+            prev = jnp.where(pos == first_index, chunk, prev)
         new_carry = (chunk[..., -1:], jnp.ones_like(started))
         return new_carry, chunk - self.coeff * prev
 
@@ -598,6 +686,96 @@ class Cmvn(Node):
 
     def apply(self, x):
         return ops.cmvn(x, self.norm_var)
+
+
+@register_node
+@dataclass(frozen=True)
+class LoudnessNormalize(Node):
+    """EBU R128 loudness normalization: pure gain to ``target_lufs``
+    integrated loudness (BS.1770-4 gated meter), optionally capped at a
+    true-peak ceiling. Per-utterance two-pass — offline only, like
+    :class:`Cmvn`."""
+
+    target_lufs: float = -23.0
+    max_true_peak_db: float | None = -1.0
+    sample_rate: int | None = None
+    streamable = False
+
+    def apply(self, x):
+        if self.sample_rate is None:
+            raise AudioError(
+                "LoudnessNormalize.sample_rate unresolved; set input_rate on the graph"
+            )
+        return ops.normalize_loudness(
+            x, self.sample_rate, self.target_lufs, self.max_true_peak_db
+        )
+
+
+@register_node
+@dataclass(frozen=True)
+class SpectralFeatures(Node):
+    """Magnitude frames -> stacked spectral descriptors
+    ``[..., F, len(features)]`` (ops/features.py; librosa conventions).
+    Feed from ``Spectrogram(power=False)``. Streamable except when "flux"
+    is requested (flux compares against the previous frame, and the
+    stream's zero-warmup frames would make the first real frame's flux
+    differ from offline — excluded rather than quietly inexact)."""
+
+    features: tuple = ("centroid", "bandwidth", "rolloff", "flatness")
+    sample_rate: int | None = None
+
+    domain_in = "frames"
+    domain_out = "frames"
+
+    @property
+    def streamable(self):
+        return "flux" not in self.features
+
+    def apply(self, x):
+        if self.sample_rate is None:
+            raise AudioError(
+                "SpectralFeatures.sample_rate unresolved; set input_rate on the graph"
+            )
+        n_fft = 2 * (x.shape[-1] - 1)
+        return ops.spectral_features(x, self.sample_rate, n_fft, tuple(self.features))
+
+    def validate_chunk(self, n_in):
+        super().validate_chunk(n_in)
+        if "flux" in self.features:
+            raise AudioError(
+                "SpectralFeatures: streaming requires dropping 'flux' "
+                "(needs the previous frame across chunk boundaries)",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+
+
+@register_node
+@dataclass(frozen=True)
+class GriffinLim(Node):
+    """Magnitude frames -> waveform via fast Griffin-Lim (iterative
+    ISTFT/STFT projections, ops/griffinlim.py). Whole-signal iterative —
+    offline only."""
+
+    n_fft: int = 1024
+    hop: int = 256
+    window: str = "hann"
+    n_iter: int = 32
+    momentum: float = 0.99
+    center: bool = True
+    impl: str = "matmul"
+    streamable = False
+
+    domain_in = "frames"
+    domain_out = "samples"
+
+    def apply(self, x):
+        return ops.griffin_lim(
+            x, self.n_fft, self.hop, self.window, self.n_iter, self.momentum,
+            center=self.center, impl=self.impl,
+        )
+
+    def out_len(self, n_in):
+        return n_in * self.hop
 
 
 @register_node

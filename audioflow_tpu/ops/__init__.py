@@ -39,11 +39,14 @@ from .biquad import (
 from .dynamics import (
     cmvn,
     compressor,
+    compressor_gain,
     energy_to_dbfs,
+    gate_gain,
     preemphasis,
     gain_db,
     limiter,
     mean_square_energy,
+    noise_gate,
     peak_normalize,
     rms_normalize,
     to_mono,

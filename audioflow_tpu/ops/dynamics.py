@@ -81,6 +81,23 @@ def limiter(
     return x * g
 
 
+def compressor_gain(
+    env: jnp.ndarray, threshold_db: float, ratio: float, knee_db: float = 0.0
+) -> jnp.ndarray:
+    """Linear gain for a peak envelope under a downward compressor curve
+    (hard or quadratic soft knee). Shared by the offline op and the
+    streaming node so the two can never diverge."""
+    level_db = 20.0 * jnp.log10(jnp.maximum(env, 1e-30))
+    over = level_db - threshold_db
+    if knee_db > 0.0:
+        soft = jnp.square(jnp.clip(over + knee_db / 2, 0.0, knee_db)) / (2.0 * knee_db)
+        over = jnp.where(over > knee_db / 2, over, soft)
+    else:
+        over = jnp.maximum(over, 0.0)
+    gain_reduction_db = over * (1.0 / ratio - 1.0)
+    return 10.0 ** (gain_reduction_db / 20.0)
+
+
 def compressor(
     x: jnp.ndarray,
     threshold_db: float = -20.0,
@@ -92,15 +109,32 @@ def compressor(
     """Downward compressor with the same associative envelope follower."""
     r = float(np.exp(-1.0 / (release_ms * 1e-3 * sample_rate)))
     env = envelope_peak_release(jnp.abs(x), r)
-    level_db = 20.0 * jnp.log10(jnp.maximum(env, 1e-30))
-    over = level_db - threshold_db
-    if knee_db > 0.0:
-        soft = jnp.square(jnp.clip(over + knee_db / 2, 0.0, knee_db)) / (2.0 * knee_db)
-        over = jnp.where(over > knee_db / 2, over, soft)
-    else:
-        over = jnp.maximum(over, 0.0)
-    gain_reduction_db = over * (1.0 / ratio - 1.0)
-    return x * 10.0 ** (gain_reduction_db / 20.0)
+    return x * compressor_gain(env, threshold_db, ratio, knee_db)
+
+
+def noise_gate(
+    x: jnp.ndarray,
+    threshold_db: float = -60.0,
+    release_ms: float = 100.0,
+    sample_rate: int = 16000,
+    floor_db: float = -80.0,
+) -> jnp.ndarray:
+    """Downward expander/gate: attenuate by ``floor_db`` below threshold.
+
+    Gate decisions follow the same instant-attack/exponential-release peak
+    envelope as the limiter/compressor, so brief inter-word gaps shorter
+    than the release stay open (no chatter) — the level-domain sibling of
+    the VAD-gated egress (graph.VadGate / vad.rs:97-154)."""
+    r = float(np.exp(-1.0 / (release_ms * 1e-3 * sample_rate)))
+    env = envelope_peak_release(jnp.abs(x), r)
+    return x * gate_gain(env, threshold_db, floor_db)
+
+
+def gate_gain(env: jnp.ndarray, threshold_db: float, floor_db: float = -80.0) -> jnp.ndarray:
+    """Linear gain for a peak envelope under a hard noise gate."""
+    thresh = 10.0 ** (threshold_db / 20.0)
+    floor = 10.0 ** (floor_db / 20.0)
+    return jnp.where(env >= thresh, 1.0, floor)
 
 
 def preemphasis(x: jnp.ndarray, coeff: float = 0.97) -> jnp.ndarray:

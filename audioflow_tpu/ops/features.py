@@ -72,14 +72,25 @@ def spectral_flatness(mag: jnp.ndarray, eps: float = 1e-10, power: float = 2.0) 
     return gmean / amean
 
 
-def spectral_flux(mag: jnp.ndarray, norm: bool = True, rectify: bool = False) -> jnp.ndarray:
+def spectral_flux(
+    mag: jnp.ndarray,
+    norm: bool = True,
+    rectify: bool = False,
+    prev: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """L2 distance between consecutive frames ``[..., F]`` (frame 0 fluxes
     against itself = 0). ``rectify=True`` keeps only increases (the onset-
     detection convention); ``norm`` L1-normalizes each frame first so flux
-    measures shape change, not level change."""
+    measures shape change, not level change. ``prev [..., 1, bins]`` gives
+    frame -1 for chunked processing (pass the previous chunk's last frame
+    so chunk boundaries flux correctly)."""
     if norm:
         mag = mag / jnp.maximum(mag.sum(axis=-1, keepdims=True), 1e-10)
-    prev = jnp.concatenate([mag[..., :1, :], mag[..., :-1, :]], axis=-2)
+    if prev is None:
+        head = mag[..., :1, :]
+    else:
+        head = prev / jnp.maximum(prev.sum(axis=-1, keepdims=True), 1e-10) if norm else prev
+    prev = jnp.concatenate([head, mag[..., :-1, :]], axis=-2)
     d = mag - prev
     if rectify:
         d = jnp.maximum(d, 0.0)

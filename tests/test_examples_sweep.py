@@ -14,6 +14,7 @@ from audioflow_tpu.config import graph_from_spec
 from audioflow_tpu.graph import (
     BiquadChain,
     Gain,
+    Compressor,
     Limiter,
     MelProject,
     Preemphasis,
@@ -68,6 +69,11 @@ def test_random_graph_streaming_equals_offline(seed):
         lambda: Gain(float(rng.uniform(-6, 6))),
         lambda: Preemphasis(float(rng.uniform(0.9, 0.99))),
         lambda: Limiter(float(rng.uniform(-6, -1))),
+        lambda: Compressor(float(rng.uniform(-24, -12)), float(rng.uniform(2, 6))),
+        # NoiseGate excluded like VadGate: its hard threshold is
+        # discontinuous, so ~1e-7 reassociation noise from an upstream
+        # chunked resample can flip a gate decision — exact streaming is
+        # tested without upstream noise in test_nodes_dynamics_features
     ]
     nodes = [pool[0]()]  # always resample first (sets 16k)
     for maker in pool[1:]:
