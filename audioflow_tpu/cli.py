@@ -430,6 +430,56 @@ def cmd_vad(args) -> int:
     return 0
 
 
+def cmd_loudness(args) -> int:
+    """BS.1770-4 / EBU R128 loudness meter (and optional normalizer).
+
+    Per file: integrated LUFS (gated), loudness range (LU), true peak
+    (dBTP), max momentary/short-term. With --normalize-to, writes a
+    gain-normalized copy next to each input (or into --out-dir)."""
+    import jax.numpy as jnp
+
+    from . import ops
+    from .io import read_audio, write_wav
+
+    paths: list[str] = []
+    for pattern in args.inputs:
+        hits = sorted(_glob.glob(pattern))
+        paths.extend(hits if hits else [pattern])
+    results = []
+    for p in paths:
+        data, rate = read_audio(p)
+        if data.ndim == 2:
+            data = data.mean(axis=1)
+        x = jnp.asarray(data, jnp.float32)
+        row = {
+            "file": p,
+            "sample_rate": rate,
+            "seconds": round(data.shape[-1] / rate, 3),
+            "integrated_lufs": round(float(ops.integrated_loudness(x, rate)), 2),
+            "lra_lu": round(float(ops.loudness_range(x, rate)), 2)
+            if data.shape[-1] >= 3 * rate
+            else None,
+            "true_peak_dbtp": round(float(ops.true_peak(x, rate)), 2),
+            "max_momentary_lufs": round(float(ops.momentary_loudness(x, rate).max()), 2),
+        }
+        if data.shape[-1] >= 3 * rate:
+            row["max_shortterm_lufs"] = round(float(ops.shortterm_loudness(x, rate).max()), 2)
+        if args.normalize_to is not None:
+            y = np.asarray(
+                ops.normalize_loudness(x, rate, args.normalize_to, args.true_peak_max)
+            )
+            base = os.path.basename(p)
+            stem, _ = os.path.splitext(base)
+            out_dir = args.out_dir or os.path.dirname(p) or "."
+            out = os.path.join(out_dir, f"{stem}.normalized.wav")
+            write_wav(out, y, rate)
+            row["normalized"] = out
+            row["normalized_lufs"] = round(float(ops.integrated_loudness(jnp.asarray(y), rate)), 2)
+        results.append(row)
+        print(json.dumps(row))
+    return 0 if results else 1
+
+
 def cmd_bench(args) -> int:
     from .bench import run_benchmark
     from .obs import profile_trace
@@ -560,6 +610,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     v.add_argument("--config")
     v.set_defaults(fn=cmd_vad)
+
+    lo = sub.add_parser("loudness", help="BS.1770/R128 loudness meter (+ optional normalize)")
+    lo.add_argument("inputs", nargs="+", help="audio files or globs")
+    lo.add_argument("--normalize-to", type=float, default=None, metavar="LUFS",
+                    help="write a gain-normalized copy at this integrated loudness")
+    lo.add_argument("--true-peak-max", type=float, default=-1.0, metavar="DBTP",
+                    help="ceiling for --normalize-to (default -1 dBTP; R128)")
+    lo.add_argument("--out-dir", default=None, help="directory for normalized copies")
+    lo.set_defaults(fn=cmd_loudness)
 
     b = sub.add_parser("bench", help="throughput benchmarks ('all' runs the 5 configs)")
     b.add_argument("benchmark", nargs="?", default="logmel")

@@ -22,7 +22,36 @@ from ..errors import ErrorCode, IOError_
 
 _FMT_PCM = 1
 _FMT_FLOAT = 3
+_FMT_ALAW = 6
+_FMT_MULAW = 7
 _FMT_EXTENSIBLE = 0xFFFE
+
+
+def _g711_tables():
+    """256-entry G.711 decode tables (int16 scale), computed from the spec.
+
+    mu-law: s = sign * (((mant << 3) + 0x84) << exp) - 0x84), code bits
+    inverted on the wire; max magnitude 32124. A-law: even bits inverted
+    (XOR 0x55); segment 0 is linear; max magnitude 32256. These reproduce
+    the published ITU tables exactly (asserted in tests).
+    """
+    codes = np.arange(256, dtype=np.int32)
+    # mu-law
+    u = ~codes & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    mu = np.where(u & 0x80, -mag, mag).astype(np.int16)
+    # A-law
+    a = codes ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    al = np.where(a & 0x80, mag, -mag).astype(np.int16)
+    return mu.astype(np.float32) / 32768.0, al.astype(np.float32) / 32768.0
+
+
+_MULAW_TABLE, _ALAW_TABLE = _g711_tables()
 
 
 class WavInfo:
@@ -79,7 +108,7 @@ def probe(buf: bytes, truncated: bool = False) -> WavInfo:
         raise IOError_("truncated WAV header", code=ErrorCode.DECODE_FAILED) from None
     if fmt is None or data_off is None:
         raise IOError_("missing fmt/data chunk", code=ErrorCode.DECODE_FAILED)
-    if fmt not in (_FMT_PCM, _FMT_FLOAT):
+    if fmt not in (_FMT_PCM, _FMT_FLOAT, _FMT_ALAW, _FMT_MULAW):
         raise IOError_(f"unsupported WAV format tag {fmt}", code=ErrorCode.UNSUPPORTED_FORMAT)
     if bits not in (8, 16, 24, 32, 64):
         raise IOError_(f"unsupported bit depth {bits}", code=ErrorCode.UNSUPPORTED_FORMAT)
@@ -90,6 +119,10 @@ def probe(buf: bytes, truncated: bool = False) -> WavInfo:
         raise IOError_(
             f"float WAV requires 32/64 bits, got {bits}", code=ErrorCode.UNSUPPORTED_FORMAT
         )
+    if fmt in (_FMT_ALAW, _FMT_MULAW) and bits != 8:
+        raise IOError_(
+            f"G.711 WAV requires 8 bits, got {bits}", code=ErrorCode.UNSUPPORTED_FORMAT
+        )
     frame_bytes = channels * (bits // 8)
     n_frames = data_size // frame_bytes if frame_bytes else 0
     return WavInfo(rate, channels, bits, fmt, n_frames, data_off, data_size)
@@ -97,7 +130,11 @@ def probe(buf: bytes, truncated: bool = False) -> WavInfo:
 
 def _decode_payload(payload: bytes, info: WavInfo) -> np.ndarray:
     n = info.n_frames * info.channels
-    if info.fmt == _FMT_FLOAT:
+    if info.fmt == _FMT_MULAW:
+        x = _MULAW_TABLE[np.frombuffer(payload, np.uint8, count=n)]
+    elif info.fmt == _FMT_ALAW:
+        x = _ALAW_TABLE[np.frombuffer(payload, np.uint8, count=n)]
+    elif info.fmt == _FMT_FLOAT:
         dt = np.float32 if info.bits == 32 else np.float64
         x = np.frombuffer(payload, dt, count=n).astype(np.float32)
     elif info.bits == 16:

@@ -21,7 +21,29 @@ namespace {
 
 constexpr uint16_t FMT_PCM = 1;
 constexpr uint16_t FMT_FLOAT = 3;
+constexpr uint16_t FMT_ALAW = 6;
+constexpr uint16_t FMT_MULAW = 7;
 constexpr uint16_t FMT_EXTENSIBLE = 0xFFFE;
+
+// G.711 decode tables (int16 scale), computed once from the spec formulas —
+// must match audioflow_tpu/io/wav.py::_g711_tables exactly (tested).
+struct G711Tables {
+  float mu[256];
+  float al[256];
+  G711Tables() {
+    for (int c = 0; c < 256; ++c) {
+      int u = ~c & 0xFF;
+      int mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84;
+      mu[c] = (float)((u & 0x80) ? -mag : mag) / 32768.0f;
+      int a = c ^ 0x55;
+      int exp = (a >> 4) & 7;
+      int m = (a & 0x0F) << 4;
+      int t = exp == 0 ? m + 8 : (m + 0x108) << (exp - 1);
+      al[c] = (float)((a & 0x80) ? t : -t) / 32768.0f;
+    }
+  }
+};
+const G711Tables g711;
 
 struct WavInfo {
   int32_t rate = 0, channels = 0, bits = 0, fmt = 0;
@@ -56,7 +78,10 @@ int probe(const uint8_t* buf, int64_t len, WavInfo* out) {
     pos = body + size + (size & 1);
   }
   if (!have_fmt || !have_data) return -1;
-  if (out->fmt != FMT_PCM && out->fmt != FMT_FLOAT) return -2;
+  if (out->fmt != FMT_PCM && out->fmt != FMT_FLOAT && out->fmt != FMT_ALAW &&
+      out->fmt != FMT_MULAW)
+    return -2;
+  if ((out->fmt == FMT_ALAW || out->fmt == FMT_MULAW) && out->bits != 8) return -2;
   if (out->bits != 8 && out->bits != 16 && out->bits != 24 && out->bits != 32 &&
       out->bits != 64)
     return -2;
@@ -78,7 +103,14 @@ int64_t decode_mono(const uint8_t* buf, int64_t len, const WavInfo& w, float* ds
   int64_t n = std::min(w.n_frames, cap);
   int ch = w.channels;
   float inv_ch = 1.0f / (float)ch;
-  if (w.fmt == FMT_FLOAT && w.bits == 32) {
+  if (w.fmt == FMT_ALAW || w.fmt == FMT_MULAW) {
+    const float* tbl = w.fmt == FMT_MULAW ? g711.mu : g711.al;
+    for (int64_t i = 0; i < n; ++i) {
+      float acc = 0.f;
+      for (int c = 0; c < ch; ++c) acc += tbl[p[i * ch + c]];
+      dst[i] = acc * inv_ch;
+    }
+  } else if (w.fmt == FMT_FLOAT && w.bits == 32) {
     for (int64_t i = 0; i < n; ++i) {
       float acc = 0.f;
       for (int c = 0; c < ch; ++c) {

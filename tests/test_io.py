@@ -198,3 +198,85 @@ def test_batch_loader_propagates_producer_errors(tmp_path):
     loader = BatchLoader([Boom()], batch_size=1, use_native=False)
     with pytest.raises(MemoryError):
         list(loader)
+
+
+def _g711_wav(fmt_tag: int, codes: bytes, rate: int = 8000, ch: int = 1) -> bytes:
+    import struct as _s
+
+    hdr = b"RIFF" + _s.pack("<I", 36 + len(codes)) + b"WAVE"
+    hdr += b"fmt " + _s.pack("<IHHIIHH", 16, fmt_tag, ch, rate, rate * ch, ch, 8)
+    hdr += b"data" + _s.pack("<I", len(codes))
+    return hdr + codes
+
+
+def test_g711_anchor_values():
+    """Published ITU G.711 anchors: mu-law 0x00 -> -32124, 0xFF -> 0 (+0),
+    0x7F -> -0; A-law 0x55 -> -8, 0xD5 -> +8, 0x2A -> -32256 sign side max."""
+    from audioflow_tpu.io.wav import _ALAW_TABLE, _MULAW_TABLE
+
+    mu = _MULAW_TABLE * 32768.0
+    al = _ALAW_TABLE * 32768.0
+    assert mu[0x00] == -32124 and mu[0x80] == 32124
+    assert mu[0xFF] == 0 and mu[0x7F] == 0
+    assert al[0x55] == -8 and al[0xD5] == 8
+    assert al[0x2A] == -32256 and al[0xAA] == 32256
+    # decode maps are monotone within each sign half's code ordering
+    assert (np.diff(np.sort(mu)) >= 0).all() and len(np.unique(mu)) == 255  # +0/-0 collide
+
+
+def test_g711_roundtrip_quantization_bound(rng):
+    """Nearest-code encoding (the table argmin, a valid G.711 encoder) must
+    round-trip any int16 within half the largest segment step."""
+    from audioflow_tpu.io.wav import _ALAW_TABLE, _MULAW_TABLE
+
+    s = rng.integers(-32768, 32768, 400).astype(np.float32) / 32768.0
+    for tbl, step in ((_MULAW_TABLE, 1024), (_ALAW_TABLE, 1024)):
+        codes = np.abs(tbl[None, :] - s[:, None]).argmin(axis=1)
+        err = np.abs(tbl[codes] - s) * 32768.0
+        assert err.max() <= step / 2 + 1e-3, err.max()
+
+
+def test_g711_wav_decode_mono_and_stereo():
+    from audioflow_tpu.io.wav import _MULAW_TABLE
+
+    codes = bytes(range(256))
+    data, rate = read_wav(_g711_wav(7, codes))
+    assert rate == 8000
+    np.testing.assert_array_equal(data, _MULAW_TABLE[np.frombuffer(codes, np.uint8)])
+    # stereo interleave -> [n, 2]
+    data2, _ = read_wav(_g711_wav(6, codes, ch=2))
+    assert data2.shape == (128, 2)
+
+
+def test_g711_bad_bits_rejected():
+    import struct as _s
+
+    buf = b"RIFF" + _s.pack("<I", 36 + 4) + b"WAVE"
+    buf += b"fmt " + _s.pack("<IHHIIHH", 16, 7, 1, 8000, 16000, 2, 16)
+    buf += b"data" + _s.pack("<I", 4) + b"\x00" * 4
+    with pytest.raises(IOError_):
+        probe(buf)
+
+
+@pytest.mark.skipif(not native.available(), reason="native decoder not built")
+def test_g711_native_matches_numpy():
+    """C++ G.711 tables must be bit-identical to the numpy oracle's, through
+    the full decode path (incl. stereo channel averaging)."""
+    codes = bytes(range(256)) * 2
+    for tag in (6, 7):
+        for ch in (1, 2):
+            buf = _g711_wav(tag, codes, ch=ch)
+            want, _ = read_wav(buf)
+            if want.ndim == 2:
+                want = want.mean(axis=1)
+            out, frames, rates = native.decode_batch_mono([buf], stride=len(want))
+            assert frames[0] == len(want) and rates[0] == 8000
+            np.testing.assert_array_equal(out[0, : len(want)], want.astype(np.float32))
+    # G.711 at 16 bits must be rejected by the native probe too
+    import struct as _s
+
+    bad = b"RIFF" + _s.pack("<I", 40) + b"WAVE"
+    bad += b"fmt " + _s.pack("<IHHIIHH", 16, 6, 1, 8000, 16000, 2, 16)
+    bad += b"data" + _s.pack("<I", 4) + b"\x00" * 4
+    _, frames, _ = native.decode_batch_mono([bad], stride=64)
+    assert frames[0] == -1

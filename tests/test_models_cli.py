@@ -230,3 +230,21 @@ def test_cli_precision_flag(tmp_path, capsys):
         assert get_default_matmul_precision() == "high"
     finally:
         set_default_matmul_precision("highest")
+
+
+def test_cli_loudness_meter_and_normalize(tmp_path, capsys):
+    t = np.arange(4 * 16000) / 16000
+    x = (0.05 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    p = tmp_path / "tone.wav"
+    write_wav(p, x, 16000)
+    rc = cli_main(
+        ["loudness", str(p), "--normalize-to", "-20", "--out-dir", str(tmp_path)]
+    )
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["sample_rate"] == 16000
+    assert row["integrated_lufs"] < -25  # quiet input
+    assert abs(row["normalized_lufs"] - (-20.0)) < 0.1
+    assert (tmp_path / "tone.normalized.wav").exists()
+    # LRA present for >= 3 s inputs, true peak sane
+    assert row["lra_lu"] is not None and row["true_peak_dbtp"] < 0
