@@ -780,6 +780,95 @@ class GriffinLim(Node):
 
 @register_node
 @dataclass(frozen=True)
+class Hpss(Node):
+    """Harmonic/percussive separation (ops/decompose.py); emits the chosen
+    component. Median filtering spans the whole time axis — offline only."""
+
+    component: str = "harmonic"  # or "percussive"
+    n_fft: int = 1024
+    hop: int = 256
+    kernel_time: int = 17
+    kernel_freq: int = 17
+    margin: float = 1.0
+    streamable = False
+
+    def __post_init__(self):
+        if self.component not in ("harmonic", "percussive"):
+            raise AudioError(
+                f"Hpss.component must be 'harmonic' or 'percussive', got {self.component!r}",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+
+    def apply(self, x):
+        y_h, y_p = ops.hpss(
+            x, self.n_fft, self.hop, kernel_time=self.kernel_time,
+            kernel_freq=self.kernel_freq, margin=self.margin,
+        )
+        return y_h if self.component == "harmonic" else y_p
+
+
+@register_node
+@dataclass(frozen=True)
+class SpectralGate(Node):
+    """Stationary-noise spectral gating denoiser (ops/decompose.py). The
+    noise profile comes from the signal's own quietest frames — a whole-
+    signal statistic, so offline only."""
+
+    n_fft: int = 1024
+    hop: int = 256
+    n_std: float = 1.5
+    prop_decrease: float = 1.0
+    quantile: float = 0.1
+    streamable = False
+
+    def apply(self, x):
+        return ops.spectral_gate(
+            x, self.n_fft, self.hop, n_std=self.n_std,
+            prop_decrease=self.prop_decrease, quantile=self.quantile,
+        )
+
+
+@register_node
+@dataclass(frozen=True)
+class Pcen(Node):
+    """Per-channel energy normalization of mel/linear energies (frames
+    domain). The time smoother is seeded from frame 0 (whole-signal warm
+    start) — offline only; the streaming variant would need a different
+    seed convention to stay exact."""
+
+    smooth: float = 0.025
+    alpha: float = 0.98
+    delta: float = 2.0
+    r: float = 0.5
+    eps: float = 1e-6
+    streamable = False
+    domain_in = "frames"
+    domain_out = "frames"
+
+    def apply(self, x):
+        return ops.pcen(x, self.smooth, self.alpha, self.delta, self.r, self.eps)
+
+
+@register_node
+@dataclass(frozen=True)
+class Deltas(Node):
+    """Append regression deltas to features: [static, d, dd, ...] along the
+    feature axis (ops/features.py::add_deltas). The regression window reads
+    width//2 future frames — offline only (a streaming form would add that
+    latency)."""
+
+    width: int = 9
+    orders: tuple = (1, 2)
+    streamable = False
+    domain_in = "frames"
+    domain_out = "frames"
+
+    def apply(self, x):
+        return ops.add_deltas(x, self.width, tuple(self.orders))
+
+
+@register_node
+@dataclass(frozen=True)
 class VadGate(Node):
     """Mute non-speech audio: the device-side analog of the reference's
     VAD-gated egress (only speech is streamed to the ASR service, SURVEY

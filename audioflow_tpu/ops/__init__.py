@@ -7,6 +7,7 @@ to be composed by :mod:`audioflow_tpu.graph` into one jitted XLA program.
 
 from . import (
     biquad,
+    decompose,
     dynamics,
     features,
     framing,
@@ -51,9 +52,13 @@ from .dynamics import (
     rms_normalize,
     to_mono,
 )
+from .decompose import hpss, hpss_mask, median_filter, noise_profile, spectral_gate
 from .features import (
+    add_deltas,
+    delta,
     fft_frequencies,
     frame_rms,
+    pcen,
     spectral_bandwidth,
     spectral_centroid,
     spectral_features,

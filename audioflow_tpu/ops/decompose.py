@@ -1,0 +1,156 @@
+"""Spectral decomposition effects: HPSS and spectral-gate denoising.
+
+Harmonic/percussive source separation (Fitzgerald 2010, the librosa
+convention): median-filter the power spectrogram along time (harmonic
+ridges) and along frequency (percussive spikes), build p-power Wiener soft
+masks, apply to the complex STFT, resynthesize. The median filters are the
+only non-matmul work: they lower to sliding-window sorts (VPU), everything
+else rides the existing matmul-DFT STFT/ISTFT.
+
+Spectral gating (the classic "noisereduce" denoiser): estimate a per-bin
+noise floor (from a noise clip, or the quietest frames of the signal
+itself), threshold the magnitude spectrogram above it, smooth the
+binary decision over time/frequency into a soft mask, and attenuate.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .framing import frame
+from .stft import istft, stft
+
+
+def median_filter(x: jnp.ndarray, size: int, axis: int = -1) -> jnp.ndarray:
+    """Sliding-window median along ``axis`` (odd ``size``), reflect-padded —
+    matches scipy.ndimage.median_filter(mode='reflect') on that axis."""
+    if size % 2 != 1 or size < 1:
+        raise ValueError(f"median size must be odd and >= 1, got {size}")
+    if size == 1:
+        return x
+    x = jnp.moveaxis(x, axis, -1)
+    h = size // 2
+    pads = [(0, 0)] * (x.ndim - 1) + [(h, h)]
+    # scipy.ndimage's 'reflect' includes the edge sample (a b c -> b a|a b c)
+    # — that's numpy/jnp 'symmetric', not jnp 'reflect'
+    xp = jnp.pad(x, pads, mode="symmetric")
+    win = frame(xp, size, 1)  # [..., N, size]
+    med = jnp.sort(win, axis=-1)[..., h]
+    return jnp.moveaxis(med, -1, axis)
+
+
+def hpss_mask(
+    power_spec: jnp.ndarray,
+    kernel_time: int = 17,
+    kernel_freq: int = 17,
+    power: float = 2.0,
+    margin: float = 1.0,
+    eps: float = 1e-10,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Soft harmonic/percussive masks for a power spectrogram
+    ``[..., T, F]`` (time axis -2, frequency axis -1).
+
+    ``power`` is the Wiener exponent (2 = power-spectrogram Wiener masks);
+    ``margin`` > 1 sharpens the split (librosa's margin semantics: a
+    component must beat the other by the margin factor to claim energy).
+    """
+    harm = median_filter(power_spec, kernel_time, axis=-2)
+    perc = median_filter(power_spec, kernel_freq, axis=-1)
+    hp = harm**power
+    pp = (margin * perc) ** power
+    mask_h = hp / jnp.maximum(hp + pp, eps)
+    hp2 = (margin * harm) ** power
+    pp2 = perc**power
+    mask_p = pp2 / jnp.maximum(hp2 + pp2, eps)
+    return mask_h, mask_p
+
+
+def hpss(
+    x: jnp.ndarray,
+    n_fft: int = 1024,
+    hop: int = 256,
+    window: str = "hann",
+    kernel_time: int = 17,
+    kernel_freq: int = 17,
+    power: float = 2.0,
+    margin: float = 1.0,
+    impl: str = "matmul",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Split a waveform into (harmonic, percussive) components.
+
+    STFT -> median masks -> masked ISTFT, both components from one analysis
+    pass. Output length matches the input.
+    """
+    t = x.shape[-1]
+    spec = stft(x, n_fft, hop, window=window, impl=impl)
+    p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    mask_h, mask_p = hpss_mask(p, kernel_time, kernel_freq, power, margin)
+    y_h = istft(spec * mask_h, n_fft, hop, window=window, length=t, impl=impl)
+    y_p = istft(spec * mask_p, n_fft, hop, window=window, length=t, impl=impl)
+    return y_h, y_p
+
+
+def noise_profile(
+    mag: jnp.ndarray, quantile: float = 0.1, eps: float = 1e-10
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-bin noise floor (mean, std) in log-magnitude from the quietest
+    ``quantile`` of frames (energy-ranked) — the self-noise estimate used
+    when no explicit noise clip is given. mag ``[..., T, F]``."""
+    logm = jnp.log10(jnp.maximum(mag, eps))
+    energy = mag.sum(axis=-1)  # [..., T]
+    t = mag.shape[-2]
+    k = max(int(round(t * quantile)), 2)
+    idx = jnp.argsort(energy, axis=-1)[..., :k]  # quietest k frames
+    quiet = jnp.take_along_axis(logm, idx[..., None], axis=-2)
+    return quiet.mean(axis=-2), quiet.std(axis=-2)
+
+
+def _smooth(mask: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
+    """Boxcar smoothing along ``axis`` (reflect-padded moving average)."""
+    if size <= 1:
+        return mask
+    m = jnp.moveaxis(mask, axis, -1)
+    h = size // 2
+    pads = [(0, 0)] * (m.ndim - 1) + [(h, size - 1 - h)]
+    mp = jnp.pad(m, pads, mode="reflect")
+    win = frame(mp, size, 1)
+    return jnp.moveaxis(win.mean(axis=-1), -1, axis)
+
+
+def spectral_gate(
+    x: jnp.ndarray,
+    n_fft: int = 1024,
+    hop: int = 256,
+    window: str = "hann",
+    noise: jnp.ndarray | None = None,
+    n_std: float = 1.5,
+    prop_decrease: float = 1.0,
+    time_smooth: int = 5,
+    freq_smooth: int = 5,
+    quantile: float = 0.1,
+    impl: str = "matmul",
+) -> jnp.ndarray:
+    """Stationary-noise spectral gating (the noisereduce recipe).
+
+    A per-bin threshold is set at ``mean + n_std * std`` of the noise's
+    log-magnitude — estimated from ``noise`` (a noise-only clip ``[..., T]``)
+    when given, else from the quietest ``quantile`` of the signal's own
+    frames. Bins below threshold are attenuated by ``prop_decrease``
+    (1.0 = fully gated to the mask floor); the binary decision is boxcar-
+    smoothed over ``time_smooth`` frames and ``freq_smooth`` bins to avoid
+    musical noise.
+    """
+    t = x.shape[-1]
+    spec = stft(x, n_fft, hop, window=window, impl=impl)
+    mag = jnp.abs(spec)
+    if noise is not None:
+        nmag = jnp.abs(stft(noise, n_fft, hop, window=window, impl=impl))
+        logn = jnp.log10(jnp.maximum(nmag, 1e-10))
+        mean, std = logn.mean(axis=-2), logn.std(axis=-2)
+    else:
+        mean, std = noise_profile(mag, quantile)
+    thresh = mean + n_std * std  # [..., F]
+    keep = (jnp.log10(jnp.maximum(mag, 1e-10)) > thresh[..., None, :]).astype(mag.dtype)
+    keep = _smooth(_smooth(keep, time_smooth, axis=-2), freq_smooth, axis=-1)
+    gain = 1.0 - prop_decrease * (1.0 - keep)
+    return istft(spec * gain, n_fft, hop, window=window, length=t, impl=impl)

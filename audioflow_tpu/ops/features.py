@@ -113,6 +113,79 @@ def frame_rms(x: jnp.ndarray, frame_length: int = 2048, hop: int = 512) -> jnp.n
     return jnp.sqrt(jnp.mean(fr * fr, axis=-1))
 
 
+def delta(feats: jnp.ndarray, width: int = 9, order: int = 1) -> jnp.ndarray:
+    """Kaldi/HTK-style regression deltas along the time axis (-2).
+
+    ``d[t] = sum_{n=1..N} n * (c[t+n] - c[t-n]) / (2 * sum n^2)`` with
+    edge-replicated padding, ``N = width // 2``; ``order=2`` gives
+    delta-deltas (the regression applied twice). Expressed as one FIR
+    conv along time — static weights, fuses into the feature pipeline.
+    """
+    if width < 3 or width % 2 != 1:
+        raise ValueError(f"width must be odd and >= 3, got {width}")
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    n = width // 2
+    taps = np.arange(-n, n + 1, dtype=np.float64)
+    taps = taps / (2.0 * np.sum(np.arange(1, n + 1, dtype=np.float64) ** 2))
+    w = jnp.asarray(taps.astype(np.float32))
+    out = feats
+    for _ in range(order):
+        m = jnp.moveaxis(out, -2, -1)  # [..., F, T]
+        pads = [(0, 0)] * (m.ndim - 1) + [(n, n)]
+        mp = jnp.pad(m, pads, mode="edge")
+        win = frame(mp, width, 1)  # [..., F, T, width]
+        out = jnp.moveaxis((win * w).sum(axis=-1), -1, -2)
+    return out
+
+
+def add_deltas(feats: jnp.ndarray, width: int = 9, orders: tuple[int, ...] = (1, 2)) -> jnp.ndarray:
+    """Concatenate base features with their deltas along the feature axis
+    (the standard ASR [static, delta, delta-delta] layout)."""
+    cols = [feats] + [delta(feats, width, o) for o in orders]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def pcen(
+    energy: jnp.ndarray,
+    smooth: float = 0.025,
+    alpha: float = 0.98,
+    delta_bias: float = 2.0,
+    r: float = 0.5,
+    eps: float = 1e-6,
+    initial: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Per-channel energy normalization (Wang et al., 2017) of a mel/linear
+    energy spectrogram ``[..., T, F]``.
+
+    ``M[t] = (1-s) M[t-1] + s E[t]`` (first-order IIR along time, evaluated
+    as an associative scan — O(log T) depth on TPU), then
+    ``PCEN = (E / (eps + M)^alpha + delta)^r - delta^r``. ``initial`` seeds
+    M[-1] (defaults to E[0], the standard warm start that avoids the
+    transient of a zero seed).
+    """
+    import jax
+
+    s = float(smooth)
+    e_t = jnp.moveaxis(energy, -2, 0)  # [T, ..., F]
+    m0 = e_t[0] if initial is None else initial
+    # affine scan: M[t] = a*M[t-1] + b[t], composed associatively
+    a = jnp.full_like(e_t, 1.0 - s)
+    b = s * e_t
+    # seed: fold M[-1] into b[0]
+    b = b.at[0].add((1.0 - s) * m0)
+    a = a.at[0].set(0.0)
+
+    def compose(l, rgt):
+        al, bl = l
+        ar, br = rgt
+        return al * ar, br + ar * bl
+
+    _, m = jax.lax.associative_scan(compose, (a, b), axis=0)
+    m = jnp.moveaxis(m, 0, -2)
+    return (energy / (eps + m) ** alpha + delta_bias) ** r - delta_bias**r
+
+
 _FEATURES = ("centroid", "bandwidth", "rolloff", "flatness", "flux")
 
 
