@@ -430,6 +430,41 @@ def cmd_vad(args) -> int:
     return 0
 
 
+def cmd_pitch(args) -> int:
+    """YIN f0 track of an audio file: frame times, f0 (Hz), voiced flag."""
+    import jax.numpy as jnp
+
+    from . import ops
+    from .io import read_audio
+
+    data, rate = read_audio(args.input)
+    if data.ndim == 2:
+        data = data.mean(axis=1)
+    f0, ap = ops.yin_voicing(
+        jnp.asarray(data, jnp.float32), rate, args.fmin, args.fmax,
+        args.frame_length, args.hop,
+    )
+    f0, ap = np.asarray(f0), np.asarray(ap)
+    voiced = ap < args.voiced_threshold
+    hop_s = args.hop / rate
+    track = [
+        {
+            "t": round(i * hop_s, 4),
+            "f0_hz": round(float(f), 2) if v else None,
+            "aperiodicity": round(float(a), 3),
+        }
+        for i, (f, a, v) in enumerate(zip(f0, ap, voiced))
+    ]
+    med = float(np.median(f0[voiced])) if voiced.any() else None
+    print(json.dumps({
+        "frames": len(track),
+        "voiced_fraction": round(float(voiced.mean()), 3),
+        "median_f0_hz": round(med, 2) if med else None,
+        "track": track,
+    }))
+    return 0
+
+
 def cmd_loudness(args) -> int:
     """BS.1770-4 / EBU R128 loudness meter (and optional normalizer).
 
@@ -610,6 +645,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     v.add_argument("--config")
     v.set_defaults(fn=cmd_vad)
+
+    pt = sub.add_parser("pitch", help="YIN f0 track of an audio file")
+    pt.add_argument("-i", "--input", required=True)
+    pt.add_argument("--fmin", type=float, default=65.0)
+    pt.add_argument("--fmax", type=float, default=2093.0)
+    pt.add_argument("--frame-length", type=int, default=2048)
+    pt.add_argument("--hop", type=int, default=256)
+    pt.add_argument("--voiced-threshold", type=float, default=0.3,
+                    help="aperiodicity (CMND depth) below this counts as voiced")
+    pt.set_defaults(fn=cmd_pitch)
 
     lo = sub.add_parser("loudness", help="BS.1770/R128 loudness meter (+ optional normalize)")
     lo.add_argument("inputs", nargs="+", help="audio files or globs")

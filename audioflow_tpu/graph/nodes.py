@@ -780,6 +780,73 @@ class GriffinLim(Node):
 
 @register_node
 @dataclass(frozen=True)
+class Yin(Node):
+    """YIN pitch tracker: samples -> per-frame [f0_hz, aperiodicity]
+    ``[..., F, 2]`` (ops/pitch.py). Streaming mirrors Stft's hop-aligned
+    overlap carry (center=False), so streamed == offline exactly."""
+
+    fmin: float = 65.0
+    fmax: float = 2093.0
+    frame_length: int = 2048
+    hop: int = 256
+    threshold: float = 0.1
+    center: bool = True
+    sample_rate: int | None = None
+
+    domain_out = "frames"
+
+    def _rate(self):
+        if self.sample_rate is None:
+            raise AudioError("Yin.sample_rate unresolved; set input_rate on the graph")
+        return self.sample_rate
+
+    def apply(self, x):
+        f0, ap = ops.yin_voicing(
+            x, self._rate(), self.fmin, self.fmax, self.frame_length,
+            self.hop, self.threshold, self.center,
+        )
+        return jnp.stack([f0, ap], axis=-1)
+
+    def chunk_multiple(self):
+        return self.hop
+
+    @property
+    def streamable(self):  # center-padding needs the whole signal
+        return not self.center
+
+    def validate_chunk(self, n_in):
+        super().validate_chunk(n_in)
+        if self.center:
+            raise AudioError(
+                "Yin: streaming requires center=False",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+
+    def out_len(self, n_in):
+        return n_in // self.hop
+
+    @property
+    def _carry_len(self) -> int:
+        return (-(-self.frame_length // self.hop) - 1) * self.hop
+
+    def latency(self, n_in):
+        return self._carry_len // self.hop
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros((*lead_shape, self._carry_len), dtype)
+
+    def step(self, carry, chunk):
+        buf = jnp.concatenate([carry, chunk], axis=-1)
+        f0, ap = ops.yin_voicing(
+            buf, self._rate(), self.fmin, self.fmax, self.frame_length,
+            self.hop, self.threshold, center=False,
+        )
+        out = jnp.stack([f0, ap], axis=-1)
+        return buf[..., buf.shape[-1] - self._carry_len :], out
+
+
+@register_node
+@dataclass(frozen=True)
 class Hpss(Node):
     """Harmonic/percussive separation (ops/decompose.py); emits the chosen
     component. Median filtering spans the whole time axis — offline only."""

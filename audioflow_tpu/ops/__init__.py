@@ -15,6 +15,7 @@ from . import (
     loudness,
     mel,
     phase_vocoder,
+    pitch,
     quantize,
     resample,
     ring,
@@ -81,6 +82,7 @@ from .loudness import (
 )
 from .mel import apply_mel, dct_matrix, log_mel, mel_filterbank, mfcc
 from .phase_vocoder import phase_vocoder, pitch_shift, time_stretch
+from .pitch import cmnd_frames, yin, yin_frames, yin_voicing
 from .quantize import dequantize_i16, quantize_i16, quantize_i16_round
 from .resample import ResamplePlan, make_plan, resample, resample_apply
 from .ring import Ring, ring_available, ring_clear, ring_free, ring_init, ring_read, ring_write

@@ -248,3 +248,15 @@ def test_cli_loudness_meter_and_normalize(tmp_path, capsys):
     assert (tmp_path / "tone.normalized.wav").exists()
     # LRA present for >= 3 s inputs, true peak sane
     assert row["lra_lu"] is not None and row["true_peak_dbtp"] < 0
+
+
+def test_cli_pitch(tmp_path, capsys):
+    t = np.arange(16000) / 16000
+    p = tmp_path / "tone.wav"
+    write_wav(p, (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32), 16000)
+    assert cli_main(["pitch", "-i", str(p), "--fmin", "80", "--fmax", "1200"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["voiced_fraction"] > 0.9
+    assert abs(out["median_f0_hz"] - 220.0) < 3.0
+    mid = [r for r in out["track"][4:-4]]
+    assert all(r["f0_hz"] is not None and abs(r["f0_hz"] - 220.0) < 5 for r in mid)
