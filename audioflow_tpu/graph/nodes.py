@@ -780,6 +780,43 @@ class GriffinLim(Node):
 
 @register_node
 @dataclass(frozen=True)
+class Fir(Node):
+    """Causal FIR filter (ops/fir.py): designed windowed-sinc
+    (kind/num_taps/cutoff) or explicit ``taps``. Prehistory carry makes
+    streaming exact with zero latency; long kernels (convolution reverb)
+    route through FFT fast convolution automatically."""
+
+    kind: str = "lowpass"
+    num_taps: int = 101
+    cutoff: tuple = (4000.0,)
+    window: str = "hamming"
+    taps: tuple | None = None  # explicit taps override the design
+    sample_rate: int | None = None
+
+    def _h(self):
+        if self.taps is not None:
+            return np.asarray(self.taps, np.float32)
+        if self.sample_rate is None:
+            raise AudioError("Fir.sample_rate unresolved; set input_rate on the graph")
+        cut = self.cutoff if len(self.cutoff) > 1 else self.cutoff[0]
+        return ops.fir_design(
+            self.num_taps, cut, self.sample_rate, self.kind, self.window
+        ).astype(np.float32)
+
+    def apply(self, x):
+        y, _ = ops.fir_apply(x, jnp.asarray(self._h()))
+        return y
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros((*lead_shape, len(self._h()) - 1), dtype)
+
+    def step(self, carry, chunk):
+        y, zf = ops.fir_apply(chunk, jnp.asarray(self._h()), zi=carry)
+        return zf, y
+
+
+@register_node
+@dataclass(frozen=True)
 class Yin(Node):
     """YIN pitch tracker: samples -> per-frame [f0_hz, aperiodicity]
     ``[..., F, 2]`` (ops/pitch.py). Streaming mirrors Stft's hop-aligned

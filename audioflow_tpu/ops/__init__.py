@@ -10,6 +10,7 @@ from . import (
     decompose,
     dynamics,
     features,
+    fir,
     framing,
     griffinlim,
     loudness,
@@ -68,6 +69,7 @@ from .features import (
     spectral_rolloff,
     zero_crossing_rate,
 )
+from .fir import convolve, fir_apply, fir_design
 from .framing import frame, num_frames, overlap_add
 from .griffinlim import griffin_lim
 from .loudness import (
