@@ -188,6 +188,29 @@ def run_validation(seed: int = 0) -> dict:
         )
         report["melspec_pallas_vs_xla_logmel"] = float(np.abs(ref_lm - got_lm).max())
 
+    # BS.1770 loudness: the spec's calibration identity (997 Hz 0 dBFS sine
+    # -> -3.0103 LKFS; the -0.691 offset cancels the K-shelf gain there).
+    # The row is |measured - (-3.0103)| so it shares the 1e-4-style budget
+    # scale-free (loudness is already a log quantity). Gated at 1e-2 LU via
+    # its own key: the biquad engine is exact, but 5 s of f32 mean-squares
+    # accumulate ~1e-3 LU; anything near 1e-2 means a filter-design break.
+    xl = np.sin(2 * np.pi * 997.0 * np.arange(5 * 48000) / 48000.0).astype(np.float32)
+    li = float(ops.integrated_loudness(jnp.asarray(xl), 48000))
+    report["loudness_997_anchor_lu"] = abs(li - (-3.0103))
+
+    # YIN: 220 Hz tone recovered to < 0.5 Hz mid-signal (relative row)
+    xy = (0.5 * np.sin(2 * np.pi * 220.0 * np.arange(16000) / 16000.0)).astype(np.float32)
+    f0 = np.asarray(ops.yin(jnp.asarray(xy), 16000, fmin=80, fmax=1200))
+    report["yin_220_rel"] = float(np.abs(f0[4:-4] - 220.0).max() / 220.0)
+
+    # FIR direct path vs float64 serial convolution (gates the TPU conv
+    # precision rule — an unpinned conv truncates to bf16, ~3e-3 here)
+    hf = ops.fir_design(65, 2000.0, 16000.0)
+    xf = (0.3 * rng.standard_normal(4000)).astype(np.float32)
+    got_f, _ = ops.fir_apply(jnp.asarray(xf), hf, impl="direct")
+    want_f = np.convolve(xf.astype(np.float64), hf)[:4000]
+    report["fir_direct"] = float(np.abs(np.asarray(got_f) - want_f).max())
+
     float_keys = [
         k
         for k in report
@@ -197,6 +220,8 @@ def run_validation(seed: int = 0) -> dict:
             "quantize_i16",
             "pvoc_pallas_vs_xla_rel",
             "melspec_pallas_vs_xla_logmel",
+            "loudness_997_anchor_lu",
+            "yin_220_rel",
         )
     ]
     report["max_abs_err"] = max(report[k] for k in float_keys)
@@ -206,5 +231,7 @@ def run_validation(seed: int = 0) -> dict:
         and report["quantize_i16"] == 0
         and report.get("pvoc_pallas_vs_xla_rel", 0.0) < 6e-3
         and report.get("melspec_pallas_vs_xla_logmel", 0.0) < 5e-3
+        and report["loudness_997_anchor_lu"] < 1e-2
+        and report["yin_220_rel"] < 5e-3
     )
     return report
