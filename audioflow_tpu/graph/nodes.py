@@ -716,20 +716,23 @@ class LoudnessNormalize(Node):
 class SpectralFeatures(Node):
     """Magnitude frames -> stacked spectral descriptors
     ``[..., F, len(features)]`` (ops/features.py; librosa conventions).
-    Feed from ``Spectrogram(power=False)``. Streamable except when "flux"
-    is requested (flux compares against the previous frame, and the
-    stream's zero-warmup frames would make the first real frame's flux
-    differ from offline — excluded rather than quietly inexact)."""
+    Feed from ``Spectrogram(power=False)``. Stateless per frame except
+    "flux", which compares against the previous frame: streaming it needs
+    ``n_bins`` (to size the prev-frame carry) and uses
+    ``wants_first_index`` so the stream's offline frame 0 fluxes against
+    itself, exactly as offline."""
 
     features: tuple = ("centroid", "bandwidth", "rolloff", "flatness")
     sample_rate: int | None = None
+    n_bins: int | None = None
 
     domain_in = "frames"
     domain_out = "frames"
+    wants_first_index = True
 
     @property
     def streamable(self):
-        return "flux" not in self.features
+        return "flux" not in self.features or self.n_bins is not None
 
     def apply(self, x):
         if self.sample_rate is None:
@@ -741,12 +744,35 @@ class SpectralFeatures(Node):
 
     def validate_chunk(self, n_in):
         super().validate_chunk(n_in)
-        if "flux" in self.features:
+        if "flux" in self.features and self.n_bins is None:
             raise AudioError(
-                "SpectralFeatures: streaming requires dropping 'flux' "
-                "(needs the previous frame across chunk boundaries)",
+                "SpectralFeatures: streaming 'flux' needs n_bins (the "
+                "spectrogram bin count) to size the prev-frame carry",
                 code=ErrorCode.CONFIG_VALIDATION_ERROR,
             )
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        if "flux" not in self.features:
+            return None
+        return jnp.zeros((*lead_shape, 1, self.n_bins), dtype)
+
+    def step(self, carry, chunk, first_index=None):
+        if carry is None:  # no flux: stateless per frame
+            return None, self.apply(chunk)
+        n_fft = 2 * (chunk.shape[-1] - 1)
+        cols = []
+        for name in self.features:
+            if name == "flux":
+                f = ops.spectral_flux(chunk, prev=carry)
+                if first_index is not None:
+                    pos = jnp.arange(chunk.shape[-2])
+                    f = jnp.where(pos == first_index, 0.0, f)
+                cols.append(f)
+            else:
+                cols.append(
+                    ops.spectral_features(chunk, self.sample_rate, n_fft, (name,))[..., 0]
+                )
+        return chunk[..., -1:, :], jnp.stack(cols, axis=-1)
 
 
 @register_node
@@ -936,39 +962,113 @@ class SpectralGate(Node):
 @dataclass(frozen=True)
 class Pcen(Node):
     """Per-channel energy normalization of mel/linear energies (frames
-    domain). The time smoother is seeded from frame 0 (whole-signal warm
-    start) — offline only; the streaming variant would need a different
-    seed convention to stay exact."""
+    domain). The offline warm start (M[0] = E[0]) is position-dependent, so
+    streaming uses ``wants_first_index`` to reseed M at the stream's offline
+    frame 0 — exactly like Preemphasis' edge convention. Streaming needs
+    ``n_bins`` (the feature width, e.g. n_mels) to size the M carry;
+    without it the node is offline-only."""
 
     smooth: float = 0.025
     alpha: float = 0.98
     delta: float = 2.0
     r: float = 0.5
     eps: float = 1e-6
-    streamable = False
+    n_bins: int | None = None
     domain_in = "frames"
     domain_out = "frames"
+    wants_first_index = True
+
+    @property
+    def streamable(self):
+        return self.n_bins is not None
 
     def apply(self, x):
         return ops.pcen(x, self.smooth, self.alpha, self.delta, self.r, self.eps)
+
+    def validate_chunk(self, n_in):
+        super().validate_chunk(n_in)
+        if self.n_bins is None:
+            raise AudioError(
+                "Pcen: streaming needs n_bins (the feature width) to size the"
+                " smoother carry",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros((*lead_shape, self.n_bins), dtype)
+
+    def step(self, carry, chunk, first_index=None):
+        from ..ops.features import pcen_smoother
+
+        m, m_last = pcen_smoother(chunk, self.smooth, m_prev=carry, first_index=first_index)
+        out = (chunk / (self.eps + m) ** self.alpha + self.delta) ** self.r - self.delta**self.r
+        return m_last, out
 
 
 @register_node
 @dataclass(frozen=True)
 class Deltas(Node):
     """Append regression deltas to features: [static, d, dd, ...] along the
-    feature axis (ops/features.py::add_deltas). The regression window reads
-    width//2 future frames — offline only (a streaming form would add that
-    latency)."""
+    feature axis (ops/features.py::add_deltas).
+
+    Streaming (orders=(1,) with ``n_bins`` set): the regression window reads
+    width//2 future frames, so the node declares that latency and carries
+    the last width-1 raw frames; the offline edge-replication at the
+    stream's frame 0 is reproduced by clipping window indices at the
+    ``wants_first_index`` position. Higher orders replicate the
+    INTERMEDIATE delta sequence's edges offline, which has no
+    constant-latency streaming form — offline only."""
 
     width: int = 9
     orders: tuple = (1, 2)
-    streamable = False
+    n_bins: int | None = None
     domain_in = "frames"
     domain_out = "frames"
+    wants_first_index = True
+
+    @property
+    def streamable(self):
+        return tuple(self.orders) == (1,) and self.n_bins is not None
 
     def apply(self, x):
         return ops.add_deltas(x, self.width, tuple(self.orders))
+
+    def validate_chunk(self, n_in):
+        super().validate_chunk(n_in)
+        if not self.streamable:
+            raise AudioError(
+                "Deltas: streaming needs orders=(1,) and n_bins set "
+                "(higher orders edge-replicate the intermediate delta "
+                "sequence, which has no constant-latency streaming form)",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+
+    def latency(self, n_in):
+        return self.width // 2
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros((*lead_shape, self.width - 1, self.n_bins), dtype)
+
+    def step(self, carry, chunk, first_index=None):
+        w = self.width
+        n_side = w // 2
+        buf = jnp.concatenate([carry, chunk], axis=-2)  # [.., w-1+m, nb]
+        m = chunk.shape[-2]
+        idx = jnp.arange(m)[:, None] + jnp.arange(w)[None, :]  # window j -> buf[j..j+w-1]
+        if first_index is not None:
+            # offline edge replication: frames before the stream's frame 0
+            # (buf coordinate first_index + w - 1) read that frame instead
+            idx = jnp.maximum(idx, first_index + w - 1)
+        idx = jnp.minimum(idx, buf.shape[-2] - 1)
+        flat = jnp.take(buf, idx.reshape(-1), axis=-2)  # [.., m*w, nb]
+        win = flat.reshape(*buf.shape[:-2], m, w, buf.shape[-1])
+        n = n_side
+        taps = np.arange(-n, n + 1, dtype=np.float64)
+        taps = taps / (2.0 * np.sum(np.arange(1, n + 1, dtype=np.float64) ** 2))
+        t = jnp.asarray(taps.astype(np.float32))
+        d1 = (win * t[:, None]).sum(axis=-2)
+        static = win[..., n_side, :]  # the center frame, latency-aligned
+        return buf[..., m:, :], jnp.concatenate([static, d1], axis=-1)
 
 
 @register_node

@@ -61,6 +61,7 @@ from .features import (
     fft_frequencies,
     frame_rms,
     pcen,
+    pcen_smoother,
     spectral_bandwidth,
     spectral_centroid,
     spectral_features,

@@ -146,6 +146,49 @@ def add_deltas(feats: jnp.ndarray, width: int = 9, orders: tuple[int, ...] = (1,
     return jnp.concatenate(cols, axis=-1)
 
 
+def pcen_smoother(
+    energy: jnp.ndarray,
+    smooth: float,
+    m_prev: jnp.ndarray | None = None,
+    first_index=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The PCEN time smoother ``M[t] = (1-s) M[t-1] + s E[t]`` as an affine
+    associative scan (O(log T) depth). Returns ``(M, M[last])``.
+
+    ``m_prev [..., F]`` carries M across chunks (None = offline: seed so
+    that M[0] == E[0], the standard warm start). ``first_index`` (traced
+    int, chunk-relative time index of the stream's offline frame 0) reseeds
+    M = E at that frame, reproducing the offline warm start mid-stream —
+    the same position-dependent-edge mechanism as Preemphasis
+    (graph/nodes.py ``wants_first_index``).
+    """
+    import jax
+
+    s = float(smooth)
+    e_t = jnp.moveaxis(energy, -2, 0)  # [T, ..., F]
+    a = jnp.full_like(e_t, 1.0 - s)
+    b = s * e_t
+    if m_prev is None:
+        # offline warm start: M[0] = (1-s) E[0] + s E[0] = E[0]
+        b = b.at[0].add((1.0 - s) * e_t[0])
+    else:
+        b = b.at[0].add((1.0 - s) * m_prev)
+    a = a.at[0].set(0.0)
+    if first_index is not None:
+        shape = [-1] + [1] * (e_t.ndim - 1)
+        mask = (jnp.arange(e_t.shape[0]) == first_index).reshape(shape)
+        a = jnp.where(mask, 0.0, a)
+        b = jnp.where(mask, e_t, b)
+
+    def compose(l, rgt):
+        al, bl = l
+        ar, br = rgt
+        return al * ar, br + ar * bl
+
+    _, m = jax.lax.associative_scan(compose, (a, b), axis=0)
+    return jnp.moveaxis(m, 0, -2), m[-1]
+
+
 def pcen(
     energy: jnp.ndarray,
     smooth: float = 0.025,
@@ -161,28 +204,10 @@ def pcen(
     ``M[t] = (1-s) M[t-1] + s E[t]`` (first-order IIR along time, evaluated
     as an associative scan — O(log T) depth on TPU), then
     ``PCEN = (E / (eps + M)^alpha + delta)^r - delta^r``. ``initial`` seeds
-    M[-1] (defaults to E[0], the standard warm start that avoids the
-    transient of a zero seed).
+    M[-1] (defaults to the E[0] warm start that avoids the transient of a
+    zero seed).
     """
-    import jax
-
-    s = float(smooth)
-    e_t = jnp.moveaxis(energy, -2, 0)  # [T, ..., F]
-    m0 = e_t[0] if initial is None else initial
-    # affine scan: M[t] = a*M[t-1] + b[t], composed associatively
-    a = jnp.full_like(e_t, 1.0 - s)
-    b = s * e_t
-    # seed: fold M[-1] into b[0]
-    b = b.at[0].add((1.0 - s) * m0)
-    a = a.at[0].set(0.0)
-
-    def compose(l, rgt):
-        al, bl = l
-        ar, br = rgt
-        return al * ar, br + ar * bl
-
-    _, m = jax.lax.associative_scan(compose, (a, b), axis=0)
-    m = jnp.moveaxis(m, 0, -2)
+    m, _ = pcen_smoother(energy, smooth, m_prev=initial, first_index=None)
     return (energy / (eps + m) ** alpha + delta_bias) ** r - delta_bias**r
 
 

@@ -191,3 +191,75 @@ def test_effect_nodes_offline_and_spec_roundtrip(rng):
 
     with pytest.raises(Exception):
         Hpss("sideways")
+
+
+def test_pcen_node_streams_exactly(rng):
+    """PCEN streaming: M carry + first_index reseed == offline warm start,
+    through a latency-bearing upstream (Spectrogram overlap)."""
+    from audioflow_tpu.graph import MelProject, Pcen, Spectrogram, chain
+
+    g = chain(
+        Spectrogram(512, 128, center=False),
+        MelProject(n_mels=40, log=None),
+        Pcen(n_bins=40),
+        input_rate=FS,
+    )
+    assert g.streamable
+    x = (0.3 * rng.standard_normal(16 * 2048) ** 2).astype(np.float32)
+    offline = np.asarray(g.chain(jnp.asarray(x)))
+    chunk = g.chunk_granularity() * 8
+    streamed = np.asarray(g.scan_stream(jnp.asarray(x), chunk))
+    lat = g.stream_latency(chunk)
+    n = min(streamed.shape[0] - lat, offline.shape[0])
+    np.testing.assert_allclose(streamed[lat : lat + n], offline[:n], rtol=1e-4, atol=1e-5)
+    # offline-only without n_bins
+    g2 = chain(Spectrogram(512, 128, center=False), MelProject(n_mels=40, log=None), Pcen(), input_rate=FS)
+    assert not g2.streamable
+
+
+def test_spectral_features_flux_streams_exactly(rng):
+    from audioflow_tpu.graph import SpectralFeatures, Spectrogram, chain
+
+    g = chain(
+        Spectrogram(512, 128, center=False, power=False),
+        SpectralFeatures(("flux", "centroid"), n_bins=257),
+        input_rate=FS,
+    )
+    assert g.streamable
+    x = (0.3 * rng.standard_normal(16 * 2048)).astype(np.float32)
+    offline = np.asarray(g.chain(jnp.asarray(x)))
+    chunk = g.chunk_granularity() * 8
+    streamed = np.asarray(g.scan_stream(jnp.asarray(x), chunk))
+    lat = g.stream_latency(chunk)
+    n = min(streamed.shape[0] - lat, offline.shape[0])
+    np.testing.assert_allclose(streamed[lat : lat + n], offline[:n], rtol=1e-4, atol=1e-5)
+    assert streamed[lat, 0] == 0.0  # frame 0 fluxes against itself
+
+
+def test_deltas_node_streams_exactly(rng):
+    """Order-1 Deltas streaming: width//2-frame latency, prev-frames carry,
+    edge replication at the stream's frame 0 matches offline."""
+    from audioflow_tpu.graph import Deltas, MelProject, Spectrogram, chain
+
+    g = chain(
+        Spectrogram(512, 128, center=False),
+        MelProject(n_mels=24),
+        Deltas(width=9, orders=(1,), n_bins=24),
+        input_rate=FS,
+    )
+    assert g.streamable
+    x = (0.3 * rng.standard_normal(16 * 2048)).astype(np.float32)
+    offline = np.asarray(g.chain(jnp.asarray(x)))
+    chunk = g.chunk_granularity() * 8
+    streamed = np.asarray(g.scan_stream(jnp.asarray(x), chunk))
+    lat = g.stream_latency(chunk)
+    n = min(streamed.shape[0] - lat, offline.shape[0])
+    assert n > 50
+    np.testing.assert_allclose(streamed[lat : lat + n], offline[:n], rtol=1e-4, atol=1e-5)
+    # default (1, 2) stays offline-only
+    from audioflow_tpu.errors import AudioError
+
+    g2 = chain(Spectrogram(512, 128, center=False), MelProject(n_mels=24), Deltas(n_bins=24), input_rate=FS)
+    assert not g2.streamable
+    with pytest.raises(AudioError):
+        g2.init_state(1024)
