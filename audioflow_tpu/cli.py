@@ -33,7 +33,7 @@ from .sinks import auto_sink
 
 _log = get_logger("cli")
 
-_GRAPHS = ("logmel", "stft", "eq", "master", "vad", "wire", "fbank")
+_GRAPHS = ("logmel", "stft", "eq", "master", "vad", "wire", "fbank", "kws", "deltafbank", "denoise")
 
 
 def _build_graph(name: str, input_rate: int, cfg, streaming: bool = False):
@@ -63,6 +63,18 @@ def _build_graph(name: str, input_rate: int, cfg, streaming: bool = False):
         from .models import kaldi_fbank_frontend
 
         return kaldi_fbank_frontend(input_rate, n_mels=a.n_mels)
+    if name == "kws":
+        from .models import kws_frontend
+
+        return kws_frontend(input_rate, a.n_fft, a.hop)
+    if name == "deltafbank":
+        from .models import delta_fbank_frontend
+
+        return delta_fbank_frontend(input_rate)
+    if name == "denoise":
+        from .models import denoise_master_chain
+
+        return denoise_master_chain(input_rate)
     raise SystemExit(f"unknown graph {name!r}; known: {_GRAPHS}")
 
 

@@ -2,9 +2,12 @@
 trainable feature-frontend for gradient-based use."""
 
 from .pipelines import (
+    delta_fbank_frontend,
+    denoise_master_chain,
     eq_bands_default,
     eq_chain_graph,
     kaldi_fbank_frontend,
+    kws_frontend,
     log_mel_frontend,
     master_chain_graph,
     stft_magnitude_graph,

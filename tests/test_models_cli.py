@@ -260,3 +260,36 @@ def test_cli_pitch(tmp_path, capsys):
     assert abs(out["median_f0_hz"] - 220.0) < 3.0
     mid = [r for r in out["track"][4:-4]]
     assert all(r["f0_hz"] is not None and abs(r["f0_hz"] - 220.0) < 5 for r in mid)
+
+
+def test_new_pipeline_constructors(rng, tmp_path, capsys):
+    from audioflow_tpu.models import delta_fbank_frontend, denoise_master_chain, kws_frontend
+
+    x = (0.3 * rng.standard_normal(2 * 16000)).astype(np.float32)
+    # KWS frontend: streamable PCEN-mel, streamed == offline
+    g = kws_frontend(16000, 512, 128, n_mels=40)
+    assert g.streamable
+    off = np.asarray(g.chain(jnp.asarray(x)))
+    assert off.shape[-1] == 40 and (off >= -2.5).all()
+    ck = g.chunk_granularity() * 8
+    st = np.asarray(g.scan_stream(jnp.asarray(x[: len(x) // ck * ck]), ck))
+    lat = g.stream_latency(ck)
+    n = min(st.shape[0] - lat, off.shape[0])
+    np.testing.assert_allclose(st[lat : lat + n], off[:n], rtol=1e-4, atol=1e-5)
+    # delta fbank streams too
+    g2 = delta_fbank_frontend(16000)
+    assert g2.streamable and np.asarray(g2.chain(jnp.asarray(x))).shape[-1] == 48
+    # denoise master: offline, hits the target loudness
+    from audioflow_tpu import ops
+
+    t = np.arange(4 * 16000) / 16000
+    noisy = (0.1 * np.sin(2 * np.pi * 300.0 * t) + 0.005 * rng.standard_normal(4 * 16000)).astype(np.float32)
+    g3 = denoise_master_chain(16000, target_lufs=-18.0)
+    y = g3.chain(jnp.asarray(noisy))
+    li = float(ops.integrated_loudness(y, 16000))
+    assert abs(li - (-18.0)) < 0.2, li
+    # CLI plumb-through
+    p = tmp_path / "x.wav"
+    write_wav(p, noisy, 16000)
+    assert cli_main(["run", "-i", str(p), "-g", "kws"]) == 0
+    capsys.readouterr()
