@@ -136,3 +136,69 @@ def test_time_stretch_output_length_law(rng):
         x = _sig(rng, n)
         y = np.asarray(ops.time_stretch(jnp.asarray(x), rate=rate))
         assert abs(len(y) - int(round(n / rate))) <= 1
+
+
+def test_fir_is_linear_and_time_invariant(rng):
+    h = ops.fir_design(33, 2500.0, 16000.0)
+    x = _sig(rng, 2048)
+    y = _sig(rng, 2048)
+    lhs, _ = ops.fir_apply(jnp.asarray(2.0 * x - 0.5 * y), h)
+    rx, _ = ops.fir_apply(jnp.asarray(x), h)
+    ry, _ = ops.fir_apply(jnp.asarray(y), h)
+    np.testing.assert_allclose(np.asarray(lhs), 2.0 * np.asarray(rx) - 0.5 * np.asarray(ry), atol=1e-5)
+    # time invariance: shifting the (zero-padded) input shifts the output
+    xs = np.concatenate([np.zeros(64, np.float32), x[:-64]])
+    ys, _ = ops.fir_apply(jnp.asarray(xs), h)
+    np.testing.assert_allclose(np.asarray(ys)[64:], np.asarray(rx)[:-64], atol=1e-5)
+
+
+def test_loudness_gain_law_any_signal(rng):
+    # +g dB of gain moves integrated loudness by exactly +g LU
+    for _ in range(3):
+        x = _sig(rng, int(rng.integers(16000, 3 * 16000)), amp=float(rng.uniform(0.05, 0.4)))
+        g = float(rng.uniform(-18, 12))
+        l0 = float(ops.integrated_loudness(jnp.asarray(x), 16000))
+        l1 = float(ops.integrated_loudness(jnp.asarray(x * 10 ** (g / 20)), 16000))
+        assert abs((l1 - l0) - g) < 0.15, (g, l1 - l0)
+
+
+def test_yin_is_amplitude_invariant(rng):
+    t = np.arange(16000) / 16000
+    f = float(rng.uniform(100, 800))
+    x = np.sin(2 * np.pi * f * t).astype(np.float32)
+    a = np.asarray(ops.yin(jnp.asarray(0.9 * x), 16000, fmin=80, fmax=1200))
+    b = np.asarray(ops.yin(jnp.asarray(0.01 * x), 16000, fmin=80, fmax=1200))
+    np.testing.assert_allclose(a[4:-4], b[4:-4], rtol=1e-3)
+
+
+def test_compressor_never_amplifies_and_is_monotone(rng):
+    x = _sig(rng, 8192, amp=0.8)
+    y = np.asarray(ops.compressor(jnp.asarray(x), -20.0, 4.0, 80.0, 16000))
+    assert (np.abs(y) <= np.abs(x) + 1e-6).all()  # downward only
+    # stronger ratio compresses at least as much everywhere
+    y8 = np.asarray(ops.compressor(jnp.asarray(x), -20.0, 8.0, 80.0, 16000))
+    assert (np.abs(y8) <= np.abs(y) + 1e-6).all()
+
+
+def test_hpss_components_reconstruct_at_margin_one(rng):
+    """margin=1 Wiener masks sum to ~1, so harmonic + percussive ~= the
+    ISTFT round-trip of the input (not the raw input: COLA edges differ)."""
+    x = _sig(rng, 16000, amp=0.3)
+    y_h, y_p = ops.hpss(jnp.asarray(x), 1024, 256)
+    rt = ops.istft(ops.stft(jnp.asarray(x), 1024, 256), 1024, 256, length=16000)
+    np.testing.assert_allclose(
+        np.asarray(y_h) + np.asarray(y_p), np.asarray(rt), atol=2e-3
+    )
+
+
+def test_griffin_lim_magnitude_projection_is_idempotent_on_consistent_input(rng):
+    """A spectrogram that came FROM a real signal is already consistent:
+    one GL iteration seeded with the true phase must return (nearly) the
+    same signal."""
+    x = _sig(rng, 8000, amp=0.3)
+    spec = ops.stft(jnp.asarray(x), 512, 128)
+    y = ops.griffin_lim(
+        jnp.abs(spec), 512, 128, n_iter=1, momentum=0.0,
+        init_phase=jnp.angle(spec), length=8000,
+    )
+    np.testing.assert_allclose(np.asarray(y)[256:-768], x[256:-768], atol=1e-3)
