@@ -308,6 +308,48 @@ class Compressor(Node):
 
 @register_node
 @dataclass(frozen=True)
+class Agc(Node):
+    """Automatic gain control (slow leveler, ops/dynamics.py::agc). The
+    gain-dB scalar is the streaming carry, so streamed == offline exactly
+    when chunks are block multiples (``chunk_multiple`` enforces it)."""
+
+    target_db: float = -20.0
+    block: int = 1024
+    max_gain_db: float = 30.0
+    up_db_per_s: float = 6.0
+    down_db_per_s: float = 60.0
+    floor_db: float = -55.0
+    sample_rate: int | None = None
+
+    def _rate(self):
+        if self.sample_rate is None:
+            raise AudioError("Agc.sample_rate unresolved; set input_rate on the graph")
+        return self.sample_rate
+
+    def apply(self, x):
+        y, _ = ops.agc(
+            x, self.target_db, self.block, self.max_gain_db,
+            self.up_db_per_s, self.down_db_per_s, self._rate(), self.floor_db,
+        )
+        return y
+
+    def chunk_multiple(self):
+        return self.block
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros(lead_shape, dtype)
+
+    def step(self, carry, chunk):
+        y, g = ops.agc(
+            chunk, self.target_db, self.block, self.max_gain_db,
+            self.up_db_per_s, self.down_db_per_s, self._rate(), self.floor_db,
+            gain0=carry,
+        )
+        return g, y
+
+
+@register_node
+@dataclass(frozen=True)
 class NoiseGate(Node):
     """Hard downward gate below ``threshold_db`` (attenuates by ``floor_db``);
     same exact-streaming envelope carry as :class:`Limiter`."""

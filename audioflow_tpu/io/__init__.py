@@ -8,21 +8,24 @@ from __future__ import annotations
 
 import os
 
-from . import flac, native, wav
+from . import aiff, flac, native, wav
+from .aiff import read_aiff, write_aiff
 from .flac import read_flac, write_flac
 from .loader import BatchLoader, DecodedBatch, decode_batch
 from .wav import probe, read_wav, write_wav
 
 
 def probe_audio(buf: bytes):
-    """Container-dispatched probe: WavInfo or FlacInfo by magic bytes."""
+    """Container-dispatched probe: Wav/Flac/AiffInfo by magic bytes."""
     if buf[:4] == flac.MAGIC:
         return flac.probe(buf)
+    if buf[:4] == aiff.MAGIC:
+        return aiff.probe(buf)
     return wav.probe(buf)
 
 
 def read_audio(src: "str | os.PathLike | bytes"):
-    """Decode WAV or FLAC (path or raw bytes) to float32 in [-1, 1].
+    """Decode WAV, FLAC, or AIFF (path or raw bytes) to float32 in [-1, 1].
 
     Returns (samples ``[n]`` mono or ``[n, ch]``, sample_rate). Dispatches
     on the container magic, so callers never care which codec a file uses.
@@ -39,10 +42,13 @@ def read_audio(src: "str | os.PathLike | bytes"):
             raise IOError_(f"file not found: {src}", code=ErrorCode.FILE_NOT_FOUND) from None
     if buf[:4] == flac.MAGIC:
         return read_flac(buf)
+    if buf[:4] == aiff.MAGIC:
+        return read_aiff(buf)
     return read_wav(buf)
 
 
 __all__ = [
+    "aiff",
     "BatchLoader",
     "DecodedBatch",
     "decode_batch",
@@ -50,10 +56,12 @@ __all__ = [
     "native",
     "probe",
     "probe_audio",
+    "read_aiff",
     "read_audio",
     "read_flac",
     "read_wav",
     "wav",
+    "write_aiff",
     "write_flac",
     "write_wav",
 ]

@@ -40,6 +40,7 @@ from .biquad import (
     peaking,
 )
 from .dynamics import (
+    agc,
     cmvn,
     compressor,
     compressor_gain,

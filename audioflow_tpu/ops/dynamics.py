@@ -137,6 +137,67 @@ def gate_gain(env: jnp.ndarray, threshold_db: float, floor_db: float = -80.0) ->
     return jnp.where(env >= thresh, 1.0, floor)
 
 
+def agc(
+    x: jnp.ndarray,
+    target_db: float = -20.0,
+    block: int = 1024,
+    max_gain_db: float = 30.0,
+    up_db_per_s: float = 6.0,
+    down_db_per_s: float = 60.0,
+    sample_rate: int = 16000,
+    floor_db: float = -55.0,
+    gain0: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Automatic gain control (slow leveler): track block RMS toward
+    ``target_db`` with asymmetric slew limits (fast down to duck sudden
+    loudness, slow up so pauses don't pump the noise floor).
+
+    The gain recurrence is nonlinear (clip of a log-domain error), so it
+    runs as a control-rate ``lax.scan`` — one step per ``block`` samples
+    (64 Hz at the defaults), negligible serial cost. Blocks whose level is
+    below ``floor_db`` hold the gain (silence must not trigger gain-up).
+    Within a block the gain ramps linearly in dB to the new value (no
+    zipper noise). Returns ``(y, final_gain_db)``; ``gain0`` (dB, shape
+    ``lead``) is the streaming carry. Trailing samples beyond the last
+    full block pass at the final gain.
+    """
+    if block < 1:
+        raise ValueError("block must be >= 1")
+    lead = x.shape[:-1]
+    t = x.shape[-1]
+    n_blk = t // block
+    g0 = jnp.zeros(lead, x.dtype) if gain0 is None else jnp.asarray(gain0, x.dtype)
+    up = up_db_per_s * block / sample_rate
+    down = down_db_per_s * block / sample_rate
+
+    if n_blk == 0:
+        return x * 10.0 ** (g0[..., None] / 20.0), g0
+
+    blocks = jnp.moveaxis(
+        x[..., : n_blk * block].reshape(*lead, n_blk, block), -2, 0
+    )  # [n_blk, ..., block]
+
+    def step(g, xb):
+        rms_db = 10.0 * jnp.log10(jnp.mean(xb * xb, axis=-1) + 1e-12)
+        err = target_db - (rms_db + g)  # dB still needed after current gain
+        delta = jnp.clip(err, -down, up)
+        g_new = jnp.clip(g + delta, 0.0 - max_gain_db, max_gain_db)
+        g_new = jnp.where(rms_db > floor_db, g_new, g)  # hold on silence
+        # linear-in-dB ramp from g to g_new across the block
+        ramp = (jnp.arange(1, block + 1, dtype=xb.dtype) / block)[
+            (None,) * (xb.ndim - 1) + (slice(None),)
+        ]
+        gains_db = g[..., None] + (g_new - g)[..., None] * ramp
+        return g_new, xb * 10.0 ** (gains_db / 20.0)
+
+    g_end, ys = jax.lax.scan(step, g0, blocks)
+    y = jnp.moveaxis(ys, 0, -2).reshape(*lead, n_blk * block)
+    tail = t - n_blk * block
+    if tail:
+        y = jnp.concatenate([y, x[..., n_blk * block :] * 10.0 ** (g_end[..., None] / 20.0)], axis=-1)
+    return y, g_end
+
+
 def preemphasis(x: jnp.ndarray, coeff: float = 0.97) -> jnp.ndarray:
     """First-order high-pass FIR y[n] = x[n] - coeff*x[n-1] (ASR-standard).
 

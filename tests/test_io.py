@@ -280,3 +280,94 @@ def test_g711_native_matches_numpy():
     bad += b"data" + _s.pack("<I", 4) + b"\x00" * 4
     _, frames, _ = native.decode_batch_mono([bad], stride=64)
     assert frames[0] == -1
+
+
+def test_aiff_round_trip_and_dispatch(tmp_path, rng):
+    """AIFF PCM16 write/read round trip; read_audio dispatches on FORM."""
+    from audioflow_tpu.io import read_aiff, read_audio, write_aiff
+
+    x = (0.5 * np.sin(2 * np.pi * 440 * np.arange(8000) / 16000)).astype(np.float32)
+    p = tmp_path / "t.aiff"
+    write_aiff(p, x, 16000)
+    y, rate = read_aiff(p)
+    assert rate == 16000
+    np.testing.assert_allclose(y, np.trunc(np.clip(x, -1, 1) * 32767) / 32768.0, atol=1e-7)
+    y2, rate2 = read_audio(p)
+    np.testing.assert_array_equal(y2, y)
+    # stereo
+    st = np.stack([x[:100], -x[:100]], axis=1)
+    write_aiff(tmp_path / "s.aiff", st, 44100)
+    ys, rs = read_audio(tmp_path / "s.aiff")
+    assert rs == 44100 and ys.shape == (100, 2)
+
+
+def test_aiff_extended_float_rates():
+    """The 80-bit extended sample rate survives odd rates exactly."""
+    from audioflow_tpu.io.aiff import _read_extended, _write_extended
+
+    for rate in (8000.0, 11025.0, 22050.0, 44100.0, 48000.0, 96000.0, 192000.0):
+        assert _read_extended(_write_extended(rate)) == rate
+
+
+def test_aifc_variants(rng):
+    """AIFF-C: 'sowt' little-endian 16 and 'fl32' float payloads."""
+    import struct as _s
+
+    from audioflow_tpu.io.aiff import _write_extended, read_aiff
+
+    x = (rng.standard_normal(64) * 0.4).astype(np.float32)
+
+    def aifc(comp, payload, bits):
+        comm = _s.pack(">hIh", 1, 64, bits) + _write_extended(16000.0) + comp + b"\x00\x00"
+        ssnd = _s.pack(">II", 0, 0) + payload
+        body = b"AIFC"
+        body += b"COMM" + _s.pack(">I", len(comm)) + comm
+        body += b"SSND" + _s.pack(">I", len(ssnd)) + ssnd
+        return b"FORM" + _s.pack(">I", len(body)) + body
+
+    q = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+    y, r = read_aiff(aifc(b"sowt", q.astype("<i2").tobytes(), 16))
+    np.testing.assert_allclose(y, q / 32768.0, atol=1e-7)
+    y2, _ = read_aiff(aifc(b"fl32", x.astype(">f4").tobytes(), 32))
+    np.testing.assert_allclose(y2, x, atol=1e-7)
+    # unknown compression is a typed error
+    with pytest.raises(IOError_):
+        read_aiff(aifc(b"ulaw", q.astype(">i2").tobytes(), 16))
+
+
+def test_aiff_signed_8bit_and_24bit(rng):
+    import struct as _s
+
+    from audioflow_tpu.io.aiff import _write_extended, read_aiff
+
+    def aiff(payload, bits, n):
+        comm = _s.pack(">hIh", 1, n, bits) + _write_extended(8000.0)
+        ssnd = _s.pack(">II", 0, 0) + payload
+        body = b"AIFF"
+        body += b"COMM" + _s.pack(">I", len(comm)) + comm
+        body += b"SSND" + _s.pack(">I", len(ssnd)) + ssnd
+        return b"FORM" + _s.pack(">I", len(body)) + body
+
+    codes = np.arange(-128, 128, dtype=np.int8)
+    y, _ = read_aiff(aiff(codes.tobytes(), 8, 256))
+    np.testing.assert_allclose(y, codes / 128.0, atol=1e-7)  # signed, not offset
+    v = np.array([-8388608, -1, 0, 1, 8388607], dtype=np.int32)
+    raw = bytes()
+    for s32 in v:
+        raw += int(s32 & 0xFFFFFF).to_bytes(3, "big")
+    y24, _ = read_aiff(aiff(raw, 24, 5))
+    np.testing.assert_allclose(y24, v / 8388608.0, atol=1e-7)
+
+
+def test_aiff_garbage_and_truncated():
+    from audioflow_tpu.io.aiff import probe as aprobe
+
+    with pytest.raises(IOError_):
+        aprobe(b"FORMxxxxWAVE")
+    with pytest.raises(IOError_):
+        aprobe(b"RIFF1234WAVE")
+    # decode_batch lane isolation for broken AIFFs
+    from audioflow_tpu.io import decode_batch
+
+    batch = decode_batch([b"FORM\x00\x00\x00\x04AIFF"], use_native=False)
+    assert not batch.valid[0]

@@ -154,3 +154,40 @@ def test_preemphasis_after_latency_keeps_kaldi_edge_convention(rng):
     lat = g.stream_latency(chunk)
     n = min(len(streamed) - lat, len(offline))
     np.testing.assert_allclose(streamed[lat : lat + n], offline[:n], atol=5e-6)
+
+
+def test_agc_levels_and_streams_exactly(rng):
+    """AGC pulls a quiet tone up toward target, ducks a loud one down, holds
+    on silence, and the gain-dB carry makes streaming exact."""
+    from audioflow_tpu.graph import Agc, chain
+
+    half = 8192  # block-aligned halves (8 x 1024)
+    t = np.arange(half) / FS
+    tone = np.sin(2 * np.pi * 300.0 * t)
+    x = np.concatenate([
+        0.02 * tone,            # quiet: gain ramps up
+        0.8 * tone,             # loud: fast duck
+    ]).astype(np.float32)
+    n = 2 * half
+    g = chain(Agc(target_db=-16.0, up_db_per_s=24.0, down_db_per_s=96.0), input_rate=FS)
+    y = np.asarray(g.chain(jnp.asarray(x)))
+    def blk_db(sig, a, b):
+        return 10 * np.log10(np.mean(sig[a:b] ** 2) + 1e-12)
+    # end of quiet half: gained up vs input
+    assert blk_db(y, half - 4096, half) > blk_db(x, half - 4096, half) + 6
+    # end of loud half: ducked close to target
+    assert abs(blk_db(y, n - 4096, n) - (-16.0)) < 3.0
+    # silence holds gain (no pump): feed silence after loud, gain unchanged
+    xs = np.concatenate([x, np.zeros(half, np.float32)])
+    _, g_after_loud = ops.agc(jnp.asarray(x), -16.0, 1024, sample_rate=FS,
+                              up_db_per_s=24.0, down_db_per_s=96.0)
+    _, g_after_sil = ops.agc(jnp.asarray(xs), -16.0, 1024, sample_rate=FS,
+                             up_db_per_s=24.0, down_db_per_s=96.0)
+    np.testing.assert_allclose(float(g_after_sil), float(g_after_loud), atol=1e-5)
+    # streaming == offline exactly
+    streamed = np.asarray(g.scan_stream(jnp.asarray(x), 4096))
+    np.testing.assert_allclose(streamed, y, atol=1e-6)
+    # max gain cap respected
+    yq, gq = ops.agc(jnp.asarray((1e-4 * tone).astype(np.float32)), -10.0, 1024,
+                     max_gain_db=12.0, up_db_per_s=1000.0, sample_rate=FS, floor_db=-90.0)
+    assert float(gq) <= 12.0 + 1e-5
