@@ -11,6 +11,7 @@
 // Build: make -C native   (produces libwavcodec.so next to io/)
 
 #include <algorithm>
+#include <cmath>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -184,10 +185,12 @@ int64_t decode_mono(const uint8_t* buf, int64_t len, const WavInfo& w, float* ds
 }  // namespace
 
 #include "flaccodec.inc"
+#include "aiffcodec.inc"
 
 namespace {
-// format tag reported for FLAC containers (outside the WAVE tag space)
+// format tags reported for non-WAVE containers (outside the WAVE tag space)
 constexpr int32_t FMT_FLAC = 0xF1AC;
+constexpr int32_t FMT_AIFF = 0xA1FF;
 }  // namespace
 
 extern "C" {
@@ -200,6 +203,14 @@ int afw_probe(const uint8_t* buf, int64_t len, int32_t* rate, int32_t* channels,
     if (rc != 0) return rc;
     *rate = fi.rate; *channels = fi.channels; *bits = fi.bits; *fmt = FMT_FLAC;
     *n_frames = fi.n_frames; *data_offset = fi.frames_offset;
+    return 0;
+  }
+  if (aiff::is_aiff(buf, len)) {
+    aiff::Info ai;
+    int rc = aiff::probe(buf, len, &ai);
+    if (rc != 0) return rc;
+    *rate = ai.rate; *channels = ai.channels; *bits = ai.bits; *fmt = FMT_AIFF;
+    *n_frames = ai.n_frames; *data_offset = ai.data_offset;
     return 0;
   }
   WavInfo w;
@@ -238,6 +249,17 @@ int afw_decode_batch_mono(const uint8_t** bufs, const int64_t* lens, int32_t nfi
         int64_t n = flac::decode_mono(p, lens[b], fi, dst, stride);
         if (n < 0) std::memset(dst, 0, sizeof(float) * stride);
         out_frames[b] = n; rates[b] = n < 0 ? 0 : fi.rate;
+        continue;
+      }
+      if (aiff::is_aiff(p, lens[b])) {
+        aiff::Info ai;
+        if (aiff::probe(p, lens[b], &ai) != 0) {
+          out_frames[b] = -1; rates[b] = 0;
+          continue;
+        }
+        int64_t n = aiff::decode_mono(p, lens[b], ai, dst, stride);
+        if (n < 0) std::memset(dst, 0, sizeof(float) * stride);
+        out_frames[b] = n; rates[b] = n < 0 ? 0 : ai.rate;
         continue;
       }
       WavInfo w;

@@ -371,3 +371,50 @@ def test_aiff_garbage_and_truncated():
 
     batch = decode_batch([b"FORM\x00\x00\x00\x04AIFF"], use_native=False)
     assert not batch.valid[0]
+
+
+@pytest.mark.skipif(not native.available(), reason="native decoder not built")
+def test_aiff_native_matches_numpy(tmp_path, rng):
+    """C++ AIFF decode must match the numpy oracle bit-for-bit across PCM16
+    files and the AIFC variants, and reject what the oracle rejects."""
+    import struct as _s
+
+    from audioflow_tpu.io import read_audio, write_aiff
+    from audioflow_tpu.io.aiff import _write_extended
+
+    x = (rng.standard_normal((300, 2)) * 0.4).astype(np.float32)
+    p = tmp_path / "n.aiff"
+    write_aiff(p, x, 22050)
+    want, _ = read_audio(p)
+    want_mono = want.mean(axis=1).astype(np.float32)
+    buf = p.read_bytes()
+    out, frames, rates = native.decode_batch_mono([buf], stride=400)
+    assert frames[0] == 300 and rates[0] == 22050
+    np.testing.assert_allclose(out[0, :300], want_mono, atol=1e-7)
+
+    def aifc(comp, payload, bits, n):
+        comm = _s.pack(">hIh", 1, n, bits) + _write_extended(16000.0) + comp + b"\x00\x00"
+        ssnd = _s.pack(">II", 0, 0) + payload
+        body = b"AIFC"
+        body += b"COMM" + _s.pack(">I", len(comm)) + comm
+        body += b"SSND" + _s.pack(">I", len(ssnd)) + ssnd
+        return b"FORM" + _s.pack(">I", len(body)) + body
+
+    mono = x[:64, 0]
+    q = (np.clip(mono, -1, 1) * 32767).astype(np.int16)
+    for comp, payload, bits in [
+        (b"sowt", q.astype("<i2").tobytes(), 16),
+        (b"fl32", mono.astype(">f4").tobytes(), 32),
+        (b"NONE", q.astype(">i2").tobytes(), 16),
+    ]:
+        b = aifc(comp, payload, bits, 64)
+        want, _ = read_audio(b)
+        out, frames, rates = native.decode_batch_mono([b], stride=64)
+        assert frames[0] == 64 and rates[0] == 16000, comp
+        np.testing.assert_array_equal(out[0], want.astype(np.float32))
+    # unsupported compression rejected by both
+    bad = aifc(b"ulaw", q.astype(">i2").tobytes(), 16, 64)
+    with pytest.raises(IOError_):
+        read_audio(bad)
+    _, frames, _ = native.decode_batch_mono([bad], stride=64)
+    assert frames[0] == -1
