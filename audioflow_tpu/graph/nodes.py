@@ -888,7 +888,12 @@ class Fir(Node):
 class Yin(Node):
     """YIN pitch tracker: samples -> per-frame [f0_hz, aperiodicity]
     ``[..., F, 2]`` (ops/pitch.py). Streaming mirrors Stft's hop-aligned
-    overlap carry (center=False), so streamed == offline exactly."""
+    overlap carry (center=False), so streamed == offline exactly.
+
+    Sharding note: the CMND rides XLA's FFT (autocorrelation), which GSPMD
+    does not partition — a batch-sharded Yin all-gathers the batch, like
+    Stft(impl="fft") (asserted in tests). Keep YIN per-host in
+    shard-sensitive pipelines."""
 
     fmin: float = 65.0
     fmax: float = 2093.0

@@ -202,3 +202,64 @@ def test_fork_shards_with_zero_collectives():
     out = fn(xd)
     assert out["wire"].shape == (16, 3200)
     assert out["feats"].shape[0] == 16
+
+
+def test_new_family_nodes_shard_with_zero_collectives(rng):
+    """The round-2 families keep the DP promise: compressor/gate/AGC
+    (envelope/gain math), loudness normalize (masked means + biquads),
+    PCEN/deltas/descriptor frontends — all batch-elementwise, zero
+    cross-chip communication when batch-sharded."""
+    from audioflow_tpu.graph import (
+        Agc,
+        Compressor,
+        Deltas,
+        LoudnessNormalize,
+        MelProject,
+        NoiseGate,
+        Pcen,
+        SpectralFeatures,
+        Spectrogram,
+        chain,
+    )
+
+    mesh = make_mesh()
+    x = shard_batch(rng.standard_normal((8, 32768)).astype(np.float32), mesh)
+    graphs = [
+        chain(Compressor(-20.0, 4.0), NoiseGate(-50.0), Agc(), input_rate=16000),
+        chain(LoudnessNormalize(max_true_peak_db=None), input_rate=16000),
+        chain(
+            Spectrogram(512, 128, center=False),
+            MelProject(n_mels=40, log=None),
+            Pcen(n_bins=40),
+            Deltas(width=9, orders=(1,), n_bins=40),
+            input_rate=16000,
+        ),
+        chain(
+            Spectrogram(512, 128, center=False, power=False),
+            SpectralFeatures(("centroid", "flatness", "rolloff")),
+            input_rate=16000,
+        ),
+    ]
+    for g in graphs:
+        hlo = compile_sharded(g, mesh).lower(x).compile().as_text().lower()
+        for coll in ("all-reduce(", "all-gather(", "collective-permute(", "all-to-all(", "reduce-scatter("):
+            assert coll not in hlo, (g.name, coll)
+
+
+def test_fft_based_analysis_gathers_under_sharding_documented(rng):
+    """YIN (FFT autocorrelation) and FIR impl='fft' ride XLA's FFT op, which
+    GSPMD does not partition — like Stft(impl='fft'), they all-gather the
+    batch when sharded. Documented behavior: shard-sensitive pipelines keep
+    YIN/FIR-fft per-host, or use FIR impl='direct' (conv partitions fine)."""
+    from audioflow_tpu.graph import Fir, Yin, chain
+
+    mesh = make_mesh()
+    x = shard_batch(rng.standard_normal((8, 32768)).astype(np.float32), mesh)
+    g = chain(Yin(frame_length=1024, hop=256, center=False, fmin=80, fmax=1200), input_rate=16000)
+    hlo = compile_sharded(g, mesh).lower(x).compile().as_text().lower()
+    assert "all-gather" in hlo  # the documented FFT sharding limitation
+    # FIR direct (XLA conv) partitions with zero collectives
+    g2 = chain(Fir("lowpass", 65, (2000.0,)), input_rate=16000)
+    hlo2 = compile_sharded(g2, mesh).lower(x).compile().as_text().lower()
+    for coll in ("all-reduce(", "all-gather(", "collective-permute(", "reduce-scatter("):
+        assert coll not in hlo2, coll
