@@ -527,6 +527,84 @@ class Power(Node):
 
 @register_node
 @dataclass(frozen=True)
+class LogMelSpec(Node):
+    """Fused log-mel spectrogram: two zero-pad-waste MXU dots
+    (ops/mel.py::log_mel_fused) — measured +13% over the Spectrogram +
+    MelProject pair at the same precisions (BENCHMARKS.md). Streaming
+    semantics identical to Spectrogram (hop-aligned overlap carry)."""
+
+    n_fft: int = 1024
+    hop: int = 256
+    n_mels: int = 128
+    window: str = "hann"
+    win_length: int | None = None
+    center: bool = False
+    f_min: float = 0.0
+    f_max: float | None = None
+    htk: bool = False
+    norm: str | None = "slaney"
+    log: str | None = "ln"
+    floor: float = 1e-10
+    sample_rate: int | None = None
+    dft_precision: str | None = None
+    fb_precision: str = "highest"
+
+    domain_out = "frames"
+
+    def _fb(self):
+        if self.sample_rate is None:
+            raise AudioError("LogMelSpec.sample_rate unresolved; set input_rate on the graph")
+        return ops.mel_filterbank(
+            self.n_fft // 2 + 1, self.n_mels, self.sample_rate,
+            self.f_min, self.f_max, self.htk, self.norm,
+        )
+
+    def _run(self, x, center):
+        return ops.log_mel_fused(
+            x, self._fb(), self.n_fft, self.hop, self.window, self.win_length,
+            center=center, floor=self.floor, log_base=self.log,
+            dft_precision=self.dft_precision, fb_precision=self.fb_precision,
+        )
+
+    def apply(self, x):
+        return self._run(x, self.center)
+
+    def chunk_multiple(self):
+        return self.hop
+
+    @property
+    def streamable(self):  # center-padding needs the whole signal
+        return not self.center
+
+    def validate_chunk(self, n_in):
+        super().validate_chunk(n_in)
+        if self.center:
+            raise AudioError(
+                "LogMelSpec: streaming requires center=False",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+
+    def out_len(self, n_in):
+        return n_in // self.hop
+
+    @property
+    def _carry_len(self) -> int:
+        return (-(-self.n_fft // self.hop) - 1) * self.hop
+
+    def latency(self, n_in):
+        return self._carry_len // self.hop
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros((*lead_shape, self._carry_len), dtype)
+
+    def step(self, carry, chunk):
+        buf = jnp.concatenate([carry, chunk], axis=-1)
+        out = self._run(buf, False)
+        return buf[..., buf.shape[-1] - self._carry_len :], out
+
+
+@register_node
+@dataclass(frozen=True)
 class MelProject(Node):
     """power/magnitude frames -> (log-)mel features; one MXU matmul."""
 

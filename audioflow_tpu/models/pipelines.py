@@ -45,15 +45,27 @@ def log_mel_frontend(
     resample_mode: str = "kaiser",
     eq: tuple | None = None,
     center: bool = False,
+    fused: bool = False,
 ) -> Graph:
     """Benchmark config 2/5 and the flagship: decode -> polyphase resample ->
-    (optional EQ) -> STFT -> power -> 128-bin log-mel."""
+    (optional EQ) -> STFT -> power -> 128-bin log-mel.
+
+    ``fused=True`` swaps the Spectrogram+MelProject pair for the
+    :class:`~audioflow_tpu.graph.LogMelSpec` two-dot form — +13% on
+    whole-array programs, a measured wash inside the chunked scan the
+    frontend actually compiles to (BENCHMARKS.md "Combined-bank DFT"), so
+    the well-characterized two-node form stays the default."""
+    from ..graph import LogMelSpec
+
     nodes: list = []
     if input_rate != target_rate:
         nodes.append(Resample(input_rate, target_rate, resample_mode))
     if eq:
         nodes.append(BiquadChain(tuple(eq)))
-    nodes += [Spectrogram(n_fft, hop, center=center, power=True), MelProject(n_mels=n_mels)]
+    if fused and n_fft % 2 == 0:
+        nodes.append(LogMelSpec(n_fft, hop, n_mels, center=center))
+    else:
+        nodes += [Spectrogram(n_fft, hop, center=center, power=True), MelProject(n_mels=n_mels)]
     return Graph(tuple(nodes), input_rate=input_rate, name="log_mel_frontend")
 
 

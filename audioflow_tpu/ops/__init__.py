@@ -84,7 +84,7 @@ from .loudness import (
     shortterm_loudness,
     true_peak,
 )
-from .mel import apply_mel, dct_matrix, log_mel, mel_filterbank, mfcc
+from .mel import apply_mel, dct_matrix, log_mel, log_mel_fused, mel_filterbank, mfcc
 from .phase_vocoder import phase_vocoder, pitch_shift, time_stretch
 from .pitch import cmnd_frames, yin, yin_frames, yin_voicing
 from .quantize import dequantize_i16, quantize_i16, quantize_i16_round

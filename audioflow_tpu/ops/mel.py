@@ -105,6 +105,55 @@ def log_mel(
     raise ValueError(f"unknown log_base {log_base!r}")
 
 
+def log_mel_fused(
+    x: jnp.ndarray,
+    fb: np.ndarray,
+    n_fft: int = 1024,
+    hop: int = 256,
+    window: str = "hann",
+    win_length: int | None = None,
+    center: bool = False,
+    floor: float = 1e-10,
+    log_base: str = "ln",
+    dft_precision: str | None = None,
+    fb_precision: str = "highest",
+) -> jnp.ndarray:
+    """Log-mel features as exactly two zero-pad-waste MXU dots.
+
+    The combined cos|sin DFT bank (ops/stft.py::_combined_banks) produces
+    ``y = [re 0..N/2 | im 1..N/2-1]`` packed into n_fft lanes; because
+    ``mel = fb.T @ (re^2 + im^2)``, stacking ``[fb ; fb[1:n_fft//2]]`` row-
+    wise makes ``mel = (y*y) @ fb_stacked`` — the re/im unpack (the
+    513-boundary pad/slice that broke XLA's power->mel fusion, BENCHMARKS.md
+    "Combined-bank DFT") never happens. Measured at batch 256x10 s @16k:
+    13.91 -> 12.34 ms (+13%) vs the two-stage path at the same precisions,
+    log-mel max|delta| 1e-5. Requires even n_fft (callers fall back).
+    """
+    if n_fft % 2:
+        raise ValueError("log_mel_fused requires even n_fft")
+    from .framing import frame as _frame
+    from .stft import DFT_PRECISION_DEFAULT, _combined_banks
+
+    if center:
+        widths = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        x = jnp.pad(x, widths, mode="reflect")
+    fr = _frame(x, n_fft, hop)
+    cb = jnp.asarray(_combined_banks(n_fft, window, win_length))
+    y = mm(fr, cb, dft_precision or DFT_PRECISION_DEFAULT)
+    fb64 = np.asarray(fb, np.float64)
+    fbc = np.concatenate([fb64, fb64[1 : n_fft // 2]], axis=0).astype(np.float32)
+    m = jnp.maximum(mm(y * y, jnp.asarray(fbc), fb_precision), floor)
+    if log_base == "ln":
+        return jnp.log(m)
+    if log_base == "log10":
+        return jnp.log10(m)
+    if log_base == "db":
+        return 10.0 * jnp.log10(m)
+    if log_base in (None, "none"):
+        return m
+    raise ValueError(f"unknown log_base {log_base!r}")
+
+
 def dct_matrix(n_in: int, n_out: int, norm: str | None = "ortho", dtype=np.float32) -> np.ndarray:
     """DCT-II basis ``[n_in, n_out]`` for MFCC as a matmul."""
     k = np.arange(n_out, dtype=np.float64)[None, :]

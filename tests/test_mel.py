@@ -74,3 +74,54 @@ def test_mfcc_shape(rng):
     lm = jnp.asarray(rng.standard_normal((9, 40)).astype(np.float32))
     out = mfcc(lm, n_mfcc=13)
     assert out.shape == (9, 13)
+
+
+def test_log_mel_fused_matches_two_stage(rng):
+    """The fused two-dot form == spectrogram(power) -> log_mel at matched
+    precisions (the stacked-fb identity: mel(re^2+im^2) == y^2 @ [fb;fb'])."""
+    from audioflow_tpu import ops
+
+    x = jnp.asarray((0.3 * rng.standard_normal((2, 16000))).astype(np.float32))
+    fb = ops.mel_filterbank(513, 128, 16000)
+    want = np.asarray(ops.log_mel(ops.spectrogram(x, 1024, 256, center=False), fb))
+    got = np.asarray(ops.log_mel_fused(x, fb, 1024, 256, center=False))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    # center=True agrees too
+    wc = np.asarray(ops.log_mel(ops.spectrogram(x, 1024, 256, center=True), fb))
+    gc = np.asarray(ops.log_mel_fused(x, fb, 1024, 256, center=True))
+    np.testing.assert_allclose(gc, wc, atol=2e-4)
+    with pytest.raises(ValueError):
+        ops.log_mel_fused(x, fb, 1023, 256)
+
+
+def test_logmelspec_node_streams_and_matches_pair(rng):
+    from audioflow_tpu.config import graph_from_spec, graph_to_spec
+    from audioflow_tpu.graph import LogMelSpec, MelProject, Spectrogram, chain
+
+    x = (0.3 * rng.standard_normal(16 * 2048)).astype(np.float32)
+    g = chain(LogMelSpec(512, 128, 40), input_rate=16000)
+    pair = chain(Spectrogram(512, 128, center=False), MelProject(n_mels=40), input_rate=16000)
+    a = np.asarray(g.chain(jnp.asarray(x)))
+    b = np.asarray(pair.chain(jnp.asarray(x)))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    # exact streaming (Spectrogram-style overlap carry)
+    chunk = g.chunk_granularity() * 8
+    streamed = np.asarray(g.scan_stream(jnp.asarray(x), chunk))
+    lat = g.stream_latency(chunk)
+    n = min(streamed.shape[0] - lat, a.shape[0])
+    np.testing.assert_allclose(streamed[lat : lat + n], a[:n], atol=1e-5)
+    g2 = graph_from_spec(graph_to_spec(g))
+    np.testing.assert_array_equal(np.asarray(g2.chain(jnp.asarray(x))), a)
+
+
+def test_log_mel_frontend_fused_flag(rng):
+    from audioflow_tpu.models import log_mel_frontend
+
+    x = jnp.asarray((0.3 * rng.standard_normal(22050)).astype(np.float32))
+    gf = log_mel_frontend(44100, 16000, 1024, 256, 128, fused=True)
+    gp = log_mel_frontend(44100, 16000, 1024, 256, 128)
+    assert type(gf.nodes[-1]).__name__ == "LogMelSpec"
+    assert type(gp.nodes[-1]).__name__ == "MelProject"  # the shipped default
+    np.testing.assert_allclose(
+        np.asarray(gf.chain(x)), np.asarray(gp.chain(x)), atol=2e-4
+    )
