@@ -897,6 +897,30 @@ class SpectralFeatures(Node):
 
 @register_node
 @dataclass(frozen=True)
+class Chroma(Node):
+    """Power frames -> chromagram ``[..., F, n_chroma]`` (pitch classes,
+    ops/features.py::chroma; librosa conventions, C = index 0). Stateless
+    per frame — streams trivially. Feed from ``Spectrogram(power=True)``.
+    Note: ``norm=True`` scales per frame by the frame max, which is exact
+    under streaming (the max is within-frame)."""
+
+    n_chroma: int = 12
+    norm: bool = True
+    tuning: float = 0.0
+    sample_rate: int | None = None
+
+    domain_in = "frames"
+    domain_out = "frames"
+
+    def apply(self, x):
+        if self.sample_rate is None:
+            raise AudioError("Chroma.sample_rate unresolved; set input_rate on the graph")
+        n_fft = 2 * (x.shape[-1] - 1)
+        return ops.chroma(x, self.sample_rate, n_fft, self.n_chroma, self.norm, self.tuning)
+
+
+@register_node
+@dataclass(frozen=True)
 class GriffinLim(Node):
     """Magnitude frames -> waveform via fast Griffin-Lim (iterative
     ISTFT/STFT projections, ops/griffinlim.py). Whole-signal iterative —

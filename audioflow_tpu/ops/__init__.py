@@ -58,6 +58,8 @@ from .dynamics import (
 from .decompose import hpss, hpss_mask, median_filter, noise_profile, spectral_gate
 from .features import (
     add_deltas,
+    chroma,
+    chroma_filterbank,
     delta,
     fft_frequencies,
     frame_rms,

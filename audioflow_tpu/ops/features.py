@@ -113,6 +113,62 @@ def frame_rms(x: jnp.ndarray, frame_length: int = 2048, hop: int = 512) -> jnp.n
     return jnp.sqrt(jnp.mean(fr * fr, axis=-1))
 
 
+def chroma_filterbank(
+    sample_rate: float,
+    n_fft: int,
+    n_chroma: int = 12,
+    tuning: float = 0.0,
+    ctroct: float = 5.0,
+    octwidth: float = 2.0,
+    base_c: bool = True,
+) -> np.ndarray:
+    """Chroma (pitch-class) filterbank ``[n_freqs, n_chroma]``, matmul-ready.
+
+    librosa.filters.chroma conventions (Gaussian bleed across fractional
+    pitch classes, per-bin L2 normalization, Gaussian octave weighting
+    centered at ``ctroct``, C-based class ordering), built host-side in
+    float64 like the mel bank.
+    """
+    freqs = np.linspace(0, sample_rate, n_fft, endpoint=False)[1:]
+    a440 = 440.0 * 2.0 ** (tuning / n_chroma)
+    frqbins = n_chroma * np.log2(freqs / (a440 / 16.0))
+    frqbins = np.concatenate(([frqbins[0] - 1.5 * n_chroma], frqbins))
+    binwidth = np.concatenate((np.maximum(frqbins[1:] - frqbins[:-1], 1.0), [1.0]))
+    d = np.subtract.outer(frqbins, np.arange(n_chroma, dtype=np.float64)).T  # [C, n_fft]
+    half = round(n_chroma / 2)
+    d = np.remainder(d + half + 10 * n_chroma, n_chroma) - half
+    wts = np.exp(-0.5 * (2 * d / np.tile(binwidth, (n_chroma, 1))) ** 2)
+    wts /= np.maximum(np.sqrt((wts**2).sum(axis=0)), 1e-10)  # per-bin L2
+    if octwidth:
+        wts *= np.tile(
+            np.exp(-0.5 * (((frqbins / n_chroma - ctroct) / octwidth) ** 2)),
+            (n_chroma, 1),
+        )
+    if base_c:
+        wts = np.roll(wts, -3 * (n_chroma // 12), axis=0)
+    return np.ascontiguousarray(wts[:, : n_fft // 2 + 1].T.astype(np.float32))
+
+
+def chroma(
+    power_spec: jnp.ndarray,
+    sample_rate: float,
+    n_fft: int,
+    n_chroma: int = 12,
+    norm: bool = True,
+    tuning: float = 0.0,
+) -> jnp.ndarray:
+    """Chromagram from a power spectrogram ``[..., F, bins]`` ->
+    ``[..., F, n_chroma]`` (one MXU matmul + optional per-frame max-norm,
+    the librosa.feature.chroma_stft convention)."""
+    from ._mm import mm
+
+    fb = chroma_filterbank(sample_rate, n_fft, n_chroma, tuning)
+    c = mm(power_spec, jnp.asarray(fb))
+    if norm:
+        c = c / jnp.maximum(c.max(axis=-1, keepdims=True), 1e-10)
+    return c
+
+
 def delta(feats: jnp.ndarray, width: int = 9, order: int = 1) -> jnp.ndarray:
     """Kaldi/HTK-style regression deltas along the time axis (-2).
 

@@ -101,3 +101,27 @@ def test_spectral_features_stack_order(mag):
     )
     with pytest.raises(ValueError):
         ops.spectral_features(jnp.asarray(mag), FS, NFFT, ("nope",))
+
+
+def test_chroma_pitch_classes_and_node(rng):
+    """A440 and C tones land in the right pitch classes across octaves;
+    the Chroma node streams exactly (stateless per frame)."""
+    from audioflow_tpu.graph import Chroma, Spectrogram, chain
+
+    fs = 22050
+    t = np.arange(fs) / fs
+    for f, idx in ((440.0, 9), (880.0, 9), (261.63, 0)):
+        x = jnp.asarray((0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32))
+        p = ops.spectrogram(x, 2048, 512, center=False)
+        c = np.asarray(ops.chroma(p, fs, 2048))
+        assert c.shape[-1] == 12
+        assert c[4:-4].mean(axis=0).argmax() == idx, f
+        assert c.max() <= 1.0 + 1e-6  # per-frame max-norm
+    g = chain(Spectrogram(2048, 512, center=False), Chroma(), input_rate=fs)
+    x = (0.3 * rng.standard_normal(8 * 4096)).astype(np.float32)
+    off = np.asarray(g.chain(jnp.asarray(x)))
+    chunk = g.chunk_granularity() * 8
+    st = np.asarray(g.scan_stream(jnp.asarray(x), chunk))
+    lat = g.stream_latency(chunk)
+    n = min(st.shape[0] - lat, off.shape[0])
+    np.testing.assert_allclose(st[lat : lat + n], off[:n], atol=1e-5)

@@ -418,3 +418,48 @@ def test_aiff_native_matches_numpy(tmp_path, rng):
         read_audio(bad)
     _, frames, _ = native.decode_batch_mono([bad], stride=64)
     assert frames[0] == -1
+
+
+def test_probe_fuzz_random_bytes_raise_typed_only(rng):
+    """Decoder contract (SURVEY §5.3): arbitrary garbage — random bytes,
+    truncations of valid files, bit-flipped headers — must raise IOError_
+    (or decode), never a raw struct/ValueError/IndexError that would break
+    per-lane fault isolation."""
+    from audioflow_tpu.io import probe_audio, read_audio, write_aiff
+
+    seeds = []
+    # random garbage, some with valid magics
+    for n in (0, 3, 12, 40, 200):
+        seeds.append(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+    for magic in (b"RIFF", b"FORM", b"fLaC"):
+        for n in (4, 8, 16, 64):
+            seeds.append(magic + rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+    # valid files, truncated at every interesting boundary + bit-flipped
+    x = (0.3 * np.sin(2 * np.pi * 440 * np.arange(400) / 16000)).astype(np.float32)
+    write_wav("/tmp/fuzz.wav", x, 16000)
+    import pathlib
+
+    wav_bytes = pathlib.Path("/tmp/fuzz.wav").read_bytes()
+    write_aiff("/tmp/fuzz.aiff", x, 16000)
+    aiff_bytes = pathlib.Path("/tmp/fuzz.aiff").read_bytes()
+    from audioflow_tpu.io import write_flac
+
+    write_flac("/tmp/fuzz.flac", x, 16000)
+    flac_bytes = pathlib.Path("/tmp/fuzz.flac").read_bytes()
+    for valid in (wav_bytes, aiff_bytes, flac_bytes):
+        for cut in (5, 11, 13, 21, 45, len(valid) // 2, len(valid) - 3):
+            seeds.append(valid[: max(0, cut)])
+        for flip in range(4, min(len(valid), 64), 7):
+            b = bytearray(valid)
+            b[flip] ^= 0xFF
+            seeds.append(bytes(b))
+    decoded = failed = 0
+    for buf in seeds:
+        for fn in (probe_audio, read_audio):
+            try:
+                fn(buf)
+                decoded += 1
+            except IOError_:
+                failed += 1
+            # anything else propagates and fails the test
+    assert failed > 20  # the fuzz actually exercised the error paths
