@@ -33,7 +33,7 @@ from .sinks import auto_sink
 
 _log = get_logger("cli")
 
-_GRAPHS = ("logmel", "stft", "eq", "master", "vad", "wire", "fbank", "kws", "deltafbank", "denoise")
+_GRAPHS = ("logmel", "stft", "eq", "master", "vad", "wire", "fbank", "kws", "deltafbank", "denoise", "features", "chroma")
 
 
 def _build_graph(name: str, input_rate: int, cfg, streaming: bool = False):
@@ -75,6 +75,27 @@ def _build_graph(name: str, input_rate: int, cfg, streaming: bool = False):
         from .models import denoise_master_chain
 
         return denoise_master_chain(input_rate)
+    if name == "features":
+        from .graph import SpectralFeatures, Spectrogram
+        from .graph import chain as _chain
+
+        return _chain(
+            Spectrogram(a.n_fft, a.hop, center=False, power=False),
+            SpectralFeatures(
+                ("centroid", "bandwidth", "rolloff", "flatness", "flux"),
+                n_bins=a.n_fft // 2 + 1,
+            ),
+            input_rate=input_rate,
+        )
+    if name == "chroma":
+        from .graph import Chroma, Spectrogram
+        from .graph import chain as _chain
+
+        return _chain(
+            Spectrogram(a.n_fft, a.hop, center=False, power=True),
+            Chroma(),
+            input_rate=input_rate,
+        )
     raise SystemExit(f"unknown graph {name!r}; known: {_GRAPHS}")
 
 

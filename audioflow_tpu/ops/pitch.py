@@ -19,35 +19,44 @@ import jax.numpy as jnp
 from .framing import frame
 
 
-def cmnd_frames(frames: jnp.ndarray, win: int | None = None) -> jnp.ndarray:
+def cmnd_frames(
+    frames: jnp.ndarray, win: int | None = None, max_lag: int | None = None
+) -> jnp.ndarray:
     """Cumulative-mean-normalized difference d'(tau) for frames [..., F, L].
 
-    Lags 0..W inclusive (W = win or L//2); d'(0) = 1 by definition. The
-    difference function d(tau) = sum_{j<W} (x_j - x_{j+tau})^2 expands to
-    e0 + e(tau) - 2*acf(tau); acf rides one zero-padded FFT correlation.
+    Lags 0..T inclusive (T = ``max_lag`` or W = win or L//2); d'(0) = 1 by
+    definition. The difference function d(tau) = sum_{j<W} (x_j - x_{j+tau})^2
+    expands to e0 + e(tau) - 2*acf(tau); acf rides one zero-padded FFT
+    correlation. Truncating to ``max_lag`` (the pitch search never looks past
+    sr/fmin) shrinks the frames the FFT sees to W + max_lag samples —
+    measured 2x end-to-end at the yin() defaults (BENCHMARKS.md).
     """
     l = frames.shape[-1]
     w = win or l // 2
-    if w + w > l:
-        raise ValueError(f"win {w} needs frame_length >= 2*win, got {l}")
-    n = 1 << (l + w).bit_length()  # linear correlation for lags <= w
+    t_max = w if max_lag is None else min(int(max_lag), w)
+    if w + t_max > l:
+        raise ValueError(
+            f"win {w} + max_lag {t_max} needs frame_length >= {w + t_max}, got {l}"
+        )
+    frames = frames[..., : w + t_max]  # samples beyond W + max_lag never used
+    n = 1 << (w + 2 * t_max).bit_length()  # linear correlation for lags <= t_max
     # acf(tau) = sum_{j < w} x_j x_{j+tau}: cross-correlate the W-sample
-    # window against the full frame (irfft(X * conj(Xw))[tau] = that sum)
+    # window against the (truncated) frame (irfft(X * conj(Xw))[tau] = that sum)
     spec_full = jnp.fft.rfft(frames, n=n, axis=-1)
     spec_win = jnp.fft.rfft(frames[..., :w], n=n, axis=-1)
-    acf = jnp.fft.irfft(spec_full * jnp.conj(spec_win), n=n, axis=-1)[..., : w + 1]
+    acf = jnp.fft.irfft(spec_full * jnp.conj(spec_win), n=n, axis=-1)[..., : t_max + 1]
     sq = frames * frames
     cs = jnp.cumsum(sq, axis=-1)
     zero = jnp.zeros_like(cs[..., :1])
     cs = jnp.concatenate([zero, cs], axis=-1)  # cs[k] = sum of first k squares
     e0 = cs[..., w : w + 1]
-    # e(tau) = sum_{j=tau}^{tau+w-1} x_j^2, tau = 0..w
-    e_tau = cs[..., w : 2 * w + 1] - cs[..., 0 : w + 1]
+    # e(tau) = sum_{j=tau}^{tau+w-1} x_j^2, tau = 0..t_max
+    e_tau = cs[..., w : w + t_max + 1] - cs[..., 0 : t_max + 1]
     # acf(0) over the full window == e0 by construction; d(0) == 0 exactly
     d = jnp.maximum(e0 + e_tau - 2.0 * acf, 0.0)
     # cumulative mean normalization: d'(tau) = d(tau) * tau / sum_{1..tau} d
     csd = jnp.cumsum(d[..., 1:], axis=-1)
-    tau = jnp.arange(1, w + 1, dtype=frames.dtype)
+    tau = jnp.arange(1, t_max + 1, dtype=frames.dtype)
     dn = jnp.where(csd > 0, d[..., 1:] * tau / jnp.maximum(csd, 1e-30), 1.0)
     return jnp.concatenate([jnp.ones_like(d[..., :1]), dn], axis=-1)
 
@@ -70,7 +79,6 @@ def yin_frames(
     """
     l = frames.shape[-1]
     w = win or l // 2
-    dn = cmnd_frames(frames, w)  # [..., F, w+1]
     tau_lo = max(int(np.floor(sample_rate / fmax)), 2)
     tau_hi = min(int(np.ceil(sample_rate / fmin)), w - 1)
     if tau_lo >= tau_hi:
@@ -78,7 +86,10 @@ def yin_frames(
             f"empty lag range for fmin={fmin}, fmax={fmax} at sr={sample_rate} "
             f"(win={w}); need sr/fmax < sr/fmin within [2, win-1]"
         )
-    lags = jnp.arange(w + 1)
+    # one lag past tau_hi so the trough test and parabolic refinement at the
+    # range edge see a real neighbor
+    dn = cmnd_frames(frames, w, min(tau_hi + 1, w))  # [..., F, T+1]
+    lags = jnp.arange(dn.shape[-1])
     in_range = (lags >= tau_lo) & (lags <= tau_hi)
     prev = jnp.concatenate([dn[..., :1], dn[..., :-1]], axis=-1)
     nxt = jnp.concatenate([dn[..., 1:], dn[..., -1:]], axis=-1)
@@ -95,7 +106,7 @@ def yin_frames(
 
     d0 = at(tau_star)
     dm = at(jnp.maximum(tau_star - 1, 0))
-    dp = at(jnp.minimum(tau_star + 1, w))
+    dp = at(jnp.minimum(tau_star + 1, dn.shape[-1] - 1))
     denom = dm - 2.0 * d0 + dp
     delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (dm - dp) / jnp.where(denom == 0, 1.0, denom), 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)

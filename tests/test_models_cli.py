@@ -293,3 +293,18 @@ def test_new_pipeline_constructors(rng, tmp_path, capsys):
     write_wav(p, noisy, 16000)
     assert cli_main(["run", "-i", str(p), "-g", "kws"]) == 0
     capsys.readouterr()
+
+
+def test_cli_features_and_chroma_graphs(tmp_path, capsys):
+    t = np.arange(16000) / 16000
+    p = tmp_path / "t.wav"
+    write_wav(p, (0.4 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32), 16000)
+    assert cli_main(["run", "-i", str(p), "-g", "features", "-o", str(tmp_path / "f.npy")]) == 0
+    capsys.readouterr()
+    f = np.load(tmp_path / "f.npy")
+    assert f.shape[-1] == 5 and np.isfinite(f).all()
+    assert cli_main(["run", "-i", str(p), "-g", "chroma", "-o", str(tmp_path / "c.npy")]) == 0
+    capsys.readouterr()
+    c = np.load(tmp_path / "c.npy")
+    assert c.shape[-1] == 12
+    assert c[0, 4:-4].mean(axis=0).argmax() == 9  # A440
