@@ -15,17 +15,59 @@ binary decision over time/frequency into a soft mask, and attenuate.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 from .framing import frame
 from .stft import istft, stft
 
 
-def median_filter(x: jnp.ndarray, size: int, axis: int = -1) -> jnp.ndarray:
+@functools.lru_cache(maxsize=None)
+def median_network(n: int) -> tuple[tuple[int, int], ...]:
+    """Comparator schedule that routes the median of ``n`` values to wire
+    ``n // 2``.
+
+    Built from an odd-even transposition sort (n passes of adjacent
+    compare-exchanges — correct for any n by the 0-1 principle), then
+    dead-code-eliminated backwards from the single output wire we read:
+    a comparator whose two output wires feed nothing downstream is dropped.
+    For n=17 this keeps 79 of the 136 comparators. Each comparator lowers
+    to one ``minimum`` + one ``maximum`` on whole arrays, so the filter is
+    a pure elementwise chain over shifted views that XLA fuses into one
+    pass — no ``[..., N, size]`` window tensor, no sort (the sort-based
+    form materializes size× the input in HBM both ways and is the
+    documented HPSS bottleneck, BENCHMARKS.md)."""
+    comps = []
+    for p in range(n):
+        for i in range(p % 2, n - 1, 2):
+            comps.append((i, i + 1))
+    needed = {n // 2}
+    kept: list[tuple[int, int]] = []
+    for i, j in reversed(comps):
+        if i in needed or j in needed:
+            kept.append((i, j))
+            needed.add(i)
+            needed.add(j)
+    return tuple(reversed(kept))
+
+
+def median_filter(
+    x: jnp.ndarray, size: int, axis: int = -1, impl: str = "auto"
+) -> jnp.ndarray:
     """Sliding-window median along ``axis`` (odd ``size``), reflect-padded —
-    matches scipy.ndimage.median_filter(mode='reflect') on that axis."""
+    matches scipy.ndimage.median_filter(mode='reflect') on that axis.
+
+    ``impl``: "network" (default for size <= 33) computes the median with a
+    pruned min/max comparator network over ``size`` shifted slices — a fused
+    elementwise pass; "sort" materializes ``[..., N, size]`` windows and
+    sorts (O(size log size) per element, kept for large windows where the
+    O(size^2) network no longer pays).
+    """
     if size % 2 != 1 or size < 1:
         raise ValueError(f"median size must be odd and >= 1, got {size}")
+    if impl not in ("auto", "network", "sort"):
+        raise ValueError(f"median impl must be auto|network|sort, got {impl!r}")
     if size == 1:
         return x
     x = jnp.moveaxis(x, axis, -1)
@@ -34,8 +76,17 @@ def median_filter(x: jnp.ndarray, size: int, axis: int = -1) -> jnp.ndarray:
     # scipy.ndimage's 'reflect' includes the edge sample (a b c -> b a|a b c)
     # — that's numpy/jnp 'symmetric', not jnp 'reflect'
     xp = jnp.pad(x, pads, mode="symmetric")
-    win = frame(xp, size, 1)  # [..., N, size]
-    med = jnp.sort(win, axis=-1)[..., h]
+    n = x.shape[-1]
+    if impl == "network" or (impl == "auto" and size <= 33):
+        vals = [xp[..., k : k + n] for k in range(size)]
+        for i, j in median_network(size):
+            lo = jnp.minimum(vals[i], vals[j])
+            vals[j] = jnp.maximum(vals[i], vals[j])
+            vals[i] = lo
+        med = vals[h]
+    else:
+        win = frame(xp, size, 1)  # [..., N, size]
+        med = jnp.sort(win, axis=-1)[..., h]
     return jnp.moveaxis(med, -1, axis)
 
 

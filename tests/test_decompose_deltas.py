@@ -13,14 +13,35 @@ FS = 16000
 
 def test_median_filter_matches_scipy(rng):
     x = rng.standard_normal((3, 40, 33)).astype(np.float32)
-    for size, axis in ((5, -1), (7, -2), (1, -1)):
-        got = np.asarray(ops.median_filter(jnp.asarray(x), size, axis=axis))
+    for size, axis in ((5, -1), (7, -2), (1, -1), (17, -2)):
         sz = [1, 1, 1]
         sz[axis] = size
         want = ndi.median_filter(x, size=tuple(sz), mode="reflect")
-        np.testing.assert_allclose(got, want, atol=0)
+        for impl in ("network", "sort"):
+            got = np.asarray(ops.median_filter(jnp.asarray(x), size, axis=axis, impl=impl))
+            np.testing.assert_allclose(got, want, atol=0, err_msg=f"{size}/{axis}/{impl}")
     with pytest.raises(ValueError):
         ops.median_filter(jnp.asarray(x), 4)
+    with pytest.raises(ValueError):
+        ops.median_filter(jnp.asarray(x), 5, impl="quickselect")
+
+
+def test_median_network_zero_one_principle():
+    """The pruned comparator network must route the true median to wire n//2
+    for EVERY input — by the 0-1 principle it suffices to check all 2^n
+    binary vectors (a min/max network computes the k-th order statistic on
+    all inputs iff it does on all 0-1 inputs)."""
+    from audioflow_tpu.ops.decompose import median_network
+
+    for n in (3, 5, 7, 9, 17):
+        m = np.arange(2**n, dtype=np.uint32)
+        wires = [((m >> k) & 1).astype(np.int8) for k in range(n)]
+        for i, j in median_network(n):
+            lo = np.minimum(wires[i], wires[j])
+            wires[j] = np.maximum(wires[i], wires[j])
+            wires[i] = lo
+        want = (np.stack([((m >> k) & 1) for k in range(n)]).sum(axis=0) > n // 2).astype(np.int8)
+        np.testing.assert_array_equal(wires[n // 2], want, err_msg=f"n={n}")
 
 
 def _tone_plus_clicks(rng):
