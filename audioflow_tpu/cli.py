@@ -33,7 +33,11 @@ from .sinks import auto_sink
 
 _log = get_logger("cli")
 
-_GRAPHS = ("logmel", "stft", "eq", "master", "vad", "wire", "fbank", "kws", "deltafbank", "denoise", "features", "chroma")
+_GRAPHS = (
+    "logmel", "stft", "eq", "master", "vad", "wire", "fbank", "kws",
+    "deltafbank", "denoise", "features", "chroma", "cqt", "onset", "beats",
+    "contrast", "tonnetz",
+)
 
 
 def _build_graph(name: str, input_rate: int, cfg, streaming: bool = False):
@@ -94,6 +98,37 @@ def _build_graph(name: str, input_rate: int, cfg, streaming: bool = False):
         return _chain(
             Spectrogram(a.n_fft, a.hop, center=False, power=True),
             Chroma(),
+            input_rate=input_rate,
+        )
+    if name == "cqt":
+        from .models import cqt_frontend
+
+        return cqt_frontend(input_rate, a.hop)
+    if name == "onset":
+        from .models import onset_frontend
+
+        return onset_frontend(input_rate, a.n_fft, a.hop)
+    if name == "beats":
+        from .models import beat_graph
+
+        return beat_graph(input_rate, a.n_fft, a.hop)
+    if name == "contrast":
+        from .graph import SpectralContrast, Spectrogram
+        from .graph import chain as _chain
+
+        return _chain(
+            Spectrogram(a.n_fft, a.hop, center=False, power=False),
+            SpectralContrast(),
+            input_rate=input_rate,
+        )
+    if name == "tonnetz":
+        from .graph import Chroma, Spectrogram, Tonnetz
+        from .graph import chain as _chain
+
+        return _chain(
+            Spectrogram(a.n_fft, a.hop, center=False, power=True),
+            Chroma(),
+            Tonnetz(),
             input_rate=input_rate,
         )
     raise SystemExit(f"unknown graph {name!r}; known: {_GRAPHS}")

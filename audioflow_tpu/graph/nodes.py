@@ -921,6 +921,232 @@ class Chroma(Node):
 
 @register_node
 @dataclass(frozen=True)
+class SpectralContrast(Node):
+    """Magnitude frames -> octave-band spectral contrast
+    ``[..., F, n_bands + 1]`` in dB (ops/features.py::spectral_contrast).
+    Stateless per frame — streams trivially. Feed from
+    ``Spectrogram(power=False)``."""
+
+    n_bands: int = 6
+    fmin: float = 200.0
+    quantile: float = 0.02
+    sample_rate: int | None = None
+
+    domain_in = "frames"
+    domain_out = "frames"
+
+    def apply(self, x):
+        if self.sample_rate is None:
+            raise AudioError(
+                "SpectralContrast.sample_rate unresolved; set input_rate on the graph"
+            )
+        n_fft = 2 * (x.shape[-1] - 1)
+        return ops.spectral_contrast(
+            x, self.sample_rate, n_fft, self.n_bands, self.fmin, self.quantile
+        )
+
+
+@register_node
+@dataclass(frozen=True)
+class Tonnetz(Node):
+    """Chroma frames -> 6-D tonal centroids ``[..., F, 6]``
+    (ops/features.py::tonnetz, Harte/Sandler circles). Stateless per frame
+    — streams trivially. Feed from :class:`Chroma`."""
+
+    domain_in = "frames"
+    domain_out = "frames"
+
+    def apply(self, x):
+        return ops.tonnetz(x)
+
+
+@register_node
+@dataclass(frozen=True)
+class Cqt(Node):
+    """samples -> constant-Q magnitude/power frames ``[..., F, n_bins]``
+    (ops/cqt.py; per-octave matmul kernels). Streaming mirrors Stft's
+    hop-aligned overlap carry (center=False), so streamed == offline
+    exactly; the analysis window is the lowest bin's kernel length, so the
+    carry is long (several thousand samples for fmin=C1) but O(1)."""
+
+    hop: int = 256
+    n_bins: int = 84
+    fmin: float = ops.FMIN_C1
+    bins_per_octave: int = 12
+    window: str = "hann"
+    filter_scale: float = 1.0
+    center: bool = True
+    output: str = "magnitude"
+    impl: str = "split"
+    precision: str | None = None
+    sample_rate: int | None = None
+
+    domain_out = "frames"
+
+    def _rate(self):
+        if self.sample_rate is None:
+            raise AudioError("Cqt.sample_rate unresolved; set input_rate on the graph")
+        return self.sample_rate
+
+    def apply(self, x):
+        return ops.cqt(
+            x, self._rate(), self.hop, self.n_bins, self.fmin,
+            self.bins_per_octave, self.window, self.filter_scale,
+            center=self.center, output=self.output, impl=self.impl,
+            precision=self.precision,
+        )
+
+    def chunk_multiple(self):
+        return self.hop
+
+    @property
+    def streamable(self):  # center-padding needs the whole signal
+        return not self.center and self.output != "complex"
+
+    def validate_chunk(self, n_in):
+        super().validate_chunk(n_in)
+        if self.center:
+            raise AudioError(
+                "Cqt: streaming requires center=False",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+
+    def out_len(self, n_in):
+        return n_in // self.hop
+
+    @property
+    def _carry_len(self) -> int:
+        # the frame span F0 is a hop multiple by construction (ops/cqt.py)
+        f0 = ops.cqt_window_length(
+            self._rate(), self.hop, self.n_bins, self.fmin,
+            self.bins_per_octave, self.filter_scale,
+        )
+        return f0 - self.hop
+
+    def latency(self, n_in):
+        return self._carry_len // self.hop
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros((*lead_shape, self._carry_len), dtype)
+
+    def step(self, carry, chunk):
+        buf = jnp.concatenate([carry, chunk], axis=-1)
+        out = ops.cqt(
+            buf, self._rate(), self.hop, self.n_bins, self.fmin,
+            self.bins_per_octave, self.window, self.filter_scale,
+            center=False, output=self.output, impl=self.impl,
+            precision=self.precision,
+        )
+        return buf[..., buf.shape[-1] - self._carry_len :], out
+
+
+@register_node
+@dataclass(frozen=True)
+class OnsetStrength(Node):
+    """Mel power frames -> onset envelope ``[..., F, 1]``
+    (ops/rhythm.py::onset_strength; rectified dB flux over ``lag`` frames).
+    Streaming carries the last ``lag`` raw frames; the offline zeros at
+    frames < lag are reproduced via ``wants_first_index`` (needs ``n_bins``
+    to size the carry)."""
+
+    lag: int = 1
+    n_bins: int | None = None
+
+    domain_in = "frames"
+    domain_out = "frames"
+    wants_first_index = True
+
+    @property
+    def streamable(self):
+        return self.n_bins is not None
+
+    def apply(self, x):
+        return ops.onset_strength(x, self.lag)[..., None]
+
+    def validate_chunk(self, n_in):
+        super().validate_chunk(n_in)
+        if self.n_bins is None:
+            raise AudioError(
+                "OnsetStrength: streaming needs n_bins (the mel band count) "
+                "to size the prev-frames carry",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros((*lead_shape, self.lag, self.n_bins), dtype)
+
+    def step(self, carry, chunk, first_index=None):
+        buf = jnp.concatenate([carry, chunk], axis=-2)
+        env = ops.onset_strength(buf, self.lag)[..., self.lag :, None]
+        if first_index is not None:
+            # offline frames < lag are zero (nothing to difference against)
+            pos = jnp.arange(chunk.shape[-2])[:, None]
+            env = jnp.where(pos < first_index + self.lag, 0.0, env)
+        return buf[..., buf.shape[-2] - self.lag :, :], env
+
+
+@register_node
+@dataclass(frozen=True)
+class Tempo(Node):
+    """Onset envelope frames ``[..., F, 1]`` -> global tempo ``[..., 1, 1]``
+    BPM (ops/rhythm.py::tempo). Whole-signal aggregation — offline only."""
+
+    hop: int = 256
+    start_bpm: float = 120.0
+    std_bpm: float = 1.0
+    max_tempo: float = 320.0
+    ac_size: float = 8.0
+    sample_rate: int | None = None
+    streamable = False
+
+    domain_in = "frames"
+    domain_out = "frames"
+
+    def apply(self, x):
+        if self.sample_rate is None:
+            raise AudioError("Tempo.sample_rate unresolved; set input_rate on the graph")
+        bpm = ops.tempo(
+            x[..., 0], self.sample_rate, self.hop, self.start_bpm,
+            self.std_bpm, self.max_tempo, self.ac_size,
+        )
+        return bpm[..., None, None]
+
+    def out_len(self, n_in):
+        return 1
+
+
+@register_node
+@dataclass(frozen=True)
+class BeatTrack(Node):
+    """Onset envelope frames ``[..., F, 1]`` -> beat mask ``[..., F, 1]``
+    (1.0 at beat frames; ops/rhythm.py::beat_track, Ellis DP). Whole-signal
+    dynamic programming — offline only."""
+
+    hop: int = 256
+    tightness: float = 100.0
+    max_period: int = 256
+    start_bpm: float = 120.0
+    sample_rate: int | None = None
+    streamable = False
+
+    domain_in = "frames"
+    domain_out = "frames"
+
+    def apply(self, x):
+        if self.sample_rate is None:
+            raise AudioError(
+                "BeatTrack.sample_rate unresolved; set input_rate on the graph"
+            )
+        mask, _ = ops.beat_track(
+            x[..., 0], self.sample_rate, self.hop,
+            tightness=self.tightness, max_period=self.max_period,
+            start_bpm=self.start_bpm,
+        )
+        return mask.astype(x.dtype)[..., None]
+
+
+@register_node
+@dataclass(frozen=True)
 class GriffinLim(Node):
     """Magnitude frames -> waveform via fast Griffin-Lim (iterative
     ISTFT/STFT projections, ops/griffinlim.py). Whole-signal iterative —

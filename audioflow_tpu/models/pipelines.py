@@ -217,6 +217,73 @@ def denoise_master_chain(
     )
 
 
+def cqt_frontend(
+    sample_rate: int = 16000,
+    hop: int = 256,
+    n_bins: int = 84,
+    fmin: float | None = None,
+    bins_per_octave: int = 12,
+) -> Graph:
+    """Constant-Q analysis frontend: samples -> CQT magnitude (streamable;
+    ops/cqt.py per-octave matmul kernels)."""
+    from ..graph import Cqt
+    from ..ops import FMIN_C1
+
+    return chain(
+        Cqt(
+            hop=hop, n_bins=n_bins, fmin=FMIN_C1 if fmin is None else fmin,
+            bins_per_octave=bins_per_octave, center=False,
+        ),
+        input_rate=sample_rate,
+        name="cqt_frontend",
+    )
+
+
+def onset_frontend(
+    sample_rate: int = 16000,
+    n_fft: int = 1024,
+    hop: int = 256,
+    n_mels: int = 64,
+    lag: int = 1,
+) -> Graph:
+    """Onset-strength envelope frontend (streamable): spectrogram ->
+    linear mel power -> rectified dB flux (ops/rhythm.py)."""
+    from ..graph import OnsetStrength
+
+    return Graph(
+        (
+            Spectrogram(n_fft, hop, center=False, power=True),
+            MelProject(n_mels=n_mels, log=None),  # onset wants linear power
+            OnsetStrength(lag=lag, n_bins=n_mels),
+        ),
+        input_rate=sample_rate,
+        name="onset_frontend",
+    )
+
+
+def beat_graph(
+    sample_rate: int = 16000,
+    n_fft: int = 1024,
+    hop: int = 256,
+    n_mels: int = 64,
+    start_bpm: float = 120.0,
+) -> Graph:
+    """Beat-tracking graph (offline): onset frontend -> Ellis DP beat mask
+    (1.0 at beat frames)."""
+    from ..graph import BeatTrack, OnsetStrength
+
+    return Graph(
+        (
+            Spectrogram(n_fft, hop, center=False, power=True),
+            MelProject(n_mels=n_mels, log=None),
+            OnsetStrength(n_bins=n_mels),
+            BeatTrack(hop=hop, start_bpm=start_bpm),
+        ),
+        input_rate=sample_rate,
+        name="beat_graph",
+    )
+
+
 def wire_egress_graph(input_rate: int = 48000, target_rate: int = 16000) -> Graph:
     """The reference's full device-side dictation path: 48k capture ->
     16k resample -> i16 quantize (the bytes the wire codec base64s;

@@ -7,6 +7,7 @@ to be composed by :mod:`audioflow_tpu.graph` into one jitted XLA program.
 
 from . import (
     biquad,
+    cqt as cqt_mod,
     decompose,
     dynamics,
     features,
@@ -19,6 +20,7 @@ from . import (
     pitch,
     quantize,
     resample,
+    rhythm,
     ring,
     stft,
     vad,
@@ -60,6 +62,7 @@ from .features import (
     add_deltas,
     chroma,
     chroma_filterbank,
+    contrast_bands,
     delta,
     fft_frequencies,
     frame_rms,
@@ -67,12 +70,16 @@ from .features import (
     pcen_smoother,
     spectral_bandwidth,
     spectral_centroid,
+    spectral_contrast,
     spectral_features,
     spectral_flatness,
     spectral_flux,
     spectral_rolloff,
+    tonnetz,
+    tonnetz_basis,
     zero_crossing_rate,
 )
+from .cqt import FMIN_C1, cqt, cqt_frequencies, cqt_lengths, cqt_window_length
 from .fir import convolve, fir_apply, fir_design
 from .framing import frame, num_frames, overlap_add
 from .griffinlim import griffin_lim
@@ -91,6 +98,15 @@ from .phase_vocoder import phase_vocoder, pitch_shift, time_stretch
 from .pitch import cmnd_frames, yin, yin_frames, yin_voicing
 from .quantize import dequantize_i16, quantize_i16, quantize_i16_round
 from .resample import ResamplePlan, make_plan, resample, resample_apply
+from .rhythm import (
+    autocorrelate,
+    beat_track,
+    onset_strength,
+    peak_pick,
+    tempo,
+    tempo_frequencies,
+    tempogram,
+)
 from .ring import Ring, ring_available, ring_clear, ring_free, ring_init, ring_read, ring_write
 from .stft import istft, magnitude, power, spectrogram, stft
 from .vad import VAD_LEVELS, VadCarry, VadConfig, is_speaking, vad_init, vad_scan, vad_step

@@ -267,6 +267,89 @@ def pcen(
     return (energy / (eps + m) ** alpha + delta_bias) ** r - delta_bias**r
 
 
+def contrast_bands(
+    sample_rate: float, n_fft: int, n_bands: int = 6, fmin: float = 200.0
+) -> list[tuple[int, int]]:
+    """Octave sub-band bin ranges for spectral contrast (host-side).
+
+    Band 0 is [0, fmin); band k >= 1 is [fmin*2^(k-1), fmin*2^k); the top
+    band extends to Nyquist. Returns ``n_bands + 1`` half-open contiguous
+    ``(lo, hi)`` bin index ranges covering all ``n_fft//2 + 1`` bins."""
+    freqs = fft_frequencies(sample_rate, n_fft)
+    edges = fmin * 2.0 ** np.arange(0, n_bands + 1, dtype=np.float64)
+    if edges[-2] >= sample_rate / 2:
+        raise ValueError(
+            f"top contrast band start {edges[-2]:.0f} Hz >= Nyquist "
+            f"{sample_rate / 2:.0f} Hz; lower n_bands or fmin"
+        )
+    bounds = [0] + [int(np.searchsorted(freqs, e)) for e in edges]
+    bounds[-1] = len(freqs)  # top band always extends to Nyquist
+    out = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            raise ValueError(
+                f"empty contrast sub-band [{lo},{hi}); n_fft={n_fft} too "
+                f"small for n_bands={n_bands}, fmin={fmin}"
+            )
+        out.append((lo, hi))
+    return out
+
+
+def spectral_contrast(
+    mag: jnp.ndarray,
+    sample_rate: float,
+    n_fft: int,
+    n_bands: int = 6,
+    fmin: float = 200.0,
+    quantile: float = 0.02,
+    eps: float = 1e-10,
+) -> jnp.ndarray:
+    """Octave-band spectral contrast ``[..., F, n_bands + 1]`` in dB:
+    ``20*log10(peak/valley)`` per sub-band, where peak/valley are the means
+    of the top/bottom ``quantile`` fraction of magnitude bins in the band
+    (at least one bin). The peak-vs-valley-per-octave design follows
+    Jiang et al. 2002 (the librosa feature); sub-bands are contiguous bin
+    ranges, so each band is one static slice + small sort — the band loop
+    unrolls at trace time.
+    """
+    bands = contrast_bands(sample_rate, n_fft, n_bands, fmin)
+    cols = []
+    for lo, hi in bands:
+        sub = jnp.sort(mag[..., lo:hi], axis=-1)
+        k = max(int(round(quantile * (hi - lo))), 1)
+        valley = sub[..., :k].mean(axis=-1)
+        peak = sub[..., hi - lo - k :].mean(axis=-1)
+        cols.append(20.0 * (jnp.log10(peak + eps) - jnp.log10(valley + eps)))
+    return jnp.stack(cols, axis=-1)
+
+
+def tonnetz_basis(n_chroma: int = 12) -> np.ndarray:
+    """Tonal-centroid projection basis ``[n_chroma, 6]`` (host-side, f64).
+
+    Harte/Sandler 2006 tonnetz: three circles — fifths (r=7 semitone step),
+    minor thirds (r=3), major thirds (r=4) — each contributing a (sin, cos)
+    pair, with radii (1, 1, 0.5)."""
+    dim = np.linspace(0, 12, num=n_chroma, endpoint=False)
+    scale = np.array([7.0 / 6, 7.0 / 6, 3.0 / 2, 3.0 / 2, 2.0 / 3, 2.0 / 3])
+    v = np.multiply.outer(scale, dim)  # [6, n_chroma]
+    v[::2] -= 0.5  # sin rows lead cos rows by a quarter turn
+    radii = np.array([1.0, 1.0, 1.0, 1.0, 0.5, 0.5])
+    return np.ascontiguousarray((radii[:, None] * np.cos(np.pi * v)).T)
+
+
+def tonnetz(chroma_frames: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
+    """Tonal centroid features ``[..., F, 6]`` from a chromagram
+    ``[..., F, n_chroma]``: L1-normalize each frame, project onto the
+    fifths/minor-third/major-third circles (one tiny matmul)."""
+    from ._mm import mm
+
+    basis = jnp.asarray(tonnetz_basis(chroma_frames.shape[-1]).astype(np.float32))
+    c = chroma_frames / jnp.maximum(
+        jnp.abs(chroma_frames).sum(axis=-1, keepdims=True), eps
+    )
+    return mm(c, basis)
+
+
 _FEATURES = ("centroid", "bandwidth", "rolloff", "flatness", "flux")
 
 

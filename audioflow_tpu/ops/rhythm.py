@@ -1,0 +1,261 @@
+"""Rhythm analysis: onset strength/detection, tempogram, tempo, beat tracking.
+
+The reference app has no rhythm analysis (its only envelope follower is the
+VAD energy, vad.rs:157-176); this family extends the framework's per-frame
+descriptor set (ops/features.py) with the standard onset/tempo/beat stack
+(Ellis 2007 dynamic-programming beat tracker; librosa-style conventions so
+the outputs are comparable to the common tooling).
+
+TPU-first formulations:
+
+* onset strength is a rectified log-spectral difference — one fused
+  elementwise pass over a mel spectrogram the MXU already produced;
+* peak picking is shifted-slice sliding max/mean (static windows, fused)
+  plus one O(T) ``lax.scan`` for the sequential "wait" constraint, batched
+  over lanes;
+* the tempogram is framed FFT autocorrelation (same rfft trick as the YIN
+  front end, ops/pitch.py);
+* the beat tracker is the Ellis DP as a ``lax.scan`` over frames whose
+  carry is a fixed window of cumulative scores (static window = the slowest
+  trackable period), then a reverse scan for the backtrace — beats come out
+  as a fixed-shape boolean mask, not a ragged index list, so the whole
+  pipeline stays jittable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .framing import frame
+
+
+def onset_strength(
+    mel_power: jnp.ndarray, lag: int = 1, eps: float = 1e-10
+) -> jnp.ndarray:
+    """Spectral-flux onset envelope ``[..., T]`` from a mel power
+    spectrogram ``[..., T, M]``: per-band rectified dB increase over ``lag``
+    frames, averaged across bands. The first ``lag`` frames are 0 (nothing
+    to difference against — the librosa padding convention)."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    s_db = 10.0 * jnp.log10(jnp.maximum(mel_power, eps))
+    d = jnp.maximum(s_db[..., lag:, :] - s_db[..., :-lag, :], 0.0).mean(axis=-1)
+    pads = [(0, 0)] * (d.ndim - 1) + [(lag, 0)]
+    return jnp.pad(d, pads)
+
+
+def _sliding_extremum(x: jnp.ndarray, pre: int, post: int, fill: float) -> jnp.ndarray:
+    """max over the window ``x[t-pre : t+post+1]`` for every t, out-of-range
+    positions reading ``fill`` — an unrolled max over pre+post+1 shifted
+    slices (static, small), which XLA fuses into one pass."""
+    t = x.shape[-1]
+    pads = [(0, 0)] * (x.ndim - 1) + [(pre, post)]
+    xp = jnp.pad(x, pads, constant_values=fill)
+    out = xp[..., 0:t]
+    for k in range(1, pre + post + 1):
+        out = jnp.maximum(out, xp[..., k : k + t])
+    return out
+
+
+def _sliding_mean(x: jnp.ndarray, pre: int, post: int) -> jnp.ndarray:
+    """mean over ``x[t-pre : t+post+1]`` clipped to the valid range (edge
+    windows average fewer samples, not padding values) — two cumsums."""
+    t = x.shape[-1]
+    c = jnp.cumsum(x, axis=-1)
+    pads = [(0, 0)] * (x.ndim - 1) + [(1, 0)]
+    c = jnp.pad(c, pads)  # c[k] = sum of x[:k]
+    idx = jnp.arange(t)
+    hi = jnp.minimum(idx + post + 1, t)
+    lo = jnp.maximum(idx - pre, 0)
+    return (c[..., hi] - c[..., lo]) / (hi - lo).astype(x.dtype)
+
+
+def peak_pick(
+    env: jnp.ndarray,
+    pre_max: int = 3,
+    post_max: int = 3,
+    pre_avg: int = 10,
+    post_avg: int = 10,
+    delta: float = 0.07,
+    wait: int = 3,
+) -> jnp.ndarray:
+    """Boolean onset mask ``[..., T]`` over an onset envelope.
+
+    A frame is an onset iff (1) it is the maximum of
+    ``env[t-pre_max : t+post_max+1]``, (2) it exceeds the mean of
+    ``env[t-pre_avg : t+post_avg+1]`` by ``delta`` (edge windows clip to
+    the valid range), and (3) at least ``wait`` frames passed since the
+    previously *accepted* onset (the one sequential condition — an O(T)
+    scan with an integer carry, batched over lanes)."""
+    is_max = env >= _sliding_extremum(env, pre_max, post_max, -jnp.inf)
+    over_avg = env >= _sliding_mean(env, pre_avg, post_avg) + delta
+    cand = jnp.logical_and(is_max, over_avg)
+    cand_t = jnp.moveaxis(cand, -1, 0)  # [T, ...]
+
+    def body(since, c):
+        ok = jnp.logical_and(c, since >= wait)
+        since = jnp.where(ok, 0, since + 1)
+        return since, ok
+
+    init = jnp.full(cand_t.shape[1:], wait, dtype=jnp.int32)
+    _, picked = jax.lax.scan(body, init, cand_t)
+    return jnp.moveaxis(picked, 0, -1)
+
+
+def autocorrelate(x: jnp.ndarray, max_lag: int | None = None) -> jnp.ndarray:
+    """Linear (non-circular) autocorrelation along the last axis via rFFT
+    with zero padding, truncated to ``max_lag + 1`` lags."""
+    n = x.shape[-1]
+    if max_lag is None:
+        max_lag = n - 1
+    nfft = 1
+    while nfft < n + max_lag + 1:
+        nfft *= 2
+    f = jnp.fft.rfft(x, n=nfft, axis=-1)
+    ac = jnp.fft.irfft(jnp.real(f) ** 2 + jnp.imag(f) ** 2, n=nfft, axis=-1)
+    return ac[..., : max_lag + 1]
+
+
+def tempogram(
+    env: jnp.ndarray, win_length: int = 384, window: str = "hann"
+) -> jnp.ndarray:
+    """Local autocorrelation tempogram ``[..., T, win_length]``: hop-1
+    centered frames of the onset envelope, windowed, autocorrelated, and
+    max-normalized per frame (lag axis last; lag 0 normalizes to 1)."""
+    from .windows import get_window
+
+    half = win_length // 2
+    pads = [(0, 0)] * (env.ndim - 1) + [(half, half)]
+    ep = jnp.pad(env, pads)
+    fr = frame(ep, win_length, 1)[..., : env.shape[-1], :]  # [..., T, W]
+    w = get_window(window, win_length)
+    ac = autocorrelate(fr * w, max_lag=win_length - 1)
+    return ac / jnp.maximum(ac[..., :1], 1e-10)
+
+
+def tempo_frequencies(n_lags: int, sample_rate: float, hop: int) -> np.ndarray:
+    """BPM corresponding to each autocorrelation lag (host-side; lag 0 maps
+    to +inf, suppressed by the prior)."""
+    lags = np.arange(n_lags, dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        return 60.0 * sample_rate / (hop * lags)
+
+
+def tempo(
+    env: jnp.ndarray,
+    sample_rate: float,
+    hop: int,
+    start_bpm: float = 120.0,
+    std_bpm: float = 1.0,
+    max_tempo: float = 320.0,
+    ac_size: float = 8.0,
+) -> jnp.ndarray:
+    """Global tempo estimate in BPM, shape ``env.shape[:-1]``.
+
+    Autocorrelate the onset envelope out to ``ac_size`` seconds of lag,
+    weight by a log-normal prior over BPM centered at ``start_bpm`` (width
+    ``std_bpm`` octaves), zero out lags faster than ``max_tempo``, and take
+    the best lag."""
+    max_lag = min(int(round(ac_size * sample_rate / hop)), env.shape[-1] - 1)
+    ac = autocorrelate(env, max_lag=max_lag)
+    bpms = tempo_frequencies(max_lag + 1, sample_rate, hop)
+    with np.errstate(divide="ignore"):
+        prior = np.exp(-0.5 * ((np.log2(bpms) - np.log2(start_bpm)) / std_bpm) ** 2)
+    prior[0] = 0.0
+    prior[bpms > max_tempo] = 0.0
+    best = jnp.argmax(ac * jnp.asarray(prior.astype(np.float32)), axis=-1)
+    lut = bpms.copy()
+    lut[0] = start_bpm  # all-zero envelope -> argmax 0 -> sane fallback
+    return jnp.asarray(lut.astype(np.float32))[best]
+
+
+def beat_track(
+    env: jnp.ndarray,
+    sample_rate: float,
+    hop: int,
+    bpm: jnp.ndarray | float | None = None,
+    tightness: float = 100.0,
+    max_period: int = 256,
+    start_bpm: float = 120.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Ellis (2007) dynamic-programming beat tracker.
+
+    Returns ``(beat_mask [..., T] bool, bpm [...])``. ``bpm`` may be given
+    (static or traced, per-lane) or is estimated with :func:`tempo`. The
+    target beat period in frames is ``p = 60*sr/(hop*bpm)``; the DP rewards
+    onset energy at beats and penalizes inter-beat gaps ``g`` by
+    ``-tightness * ln(g/p)^2`` over the search window ``g in [p/2, 2p]``.
+
+    The recurrence ``score[t] = local[t] + max(0, max_g score[t-g] + cost)``
+    is a ``lax.scan`` whose carry is the last ``2*max_period`` scores
+    (static window; the traced period only *masks* it, so one compiled
+    program serves any tempo up to ``60*sr/(hop*max_period/2)`` BPM slow).
+    The backtrace is a reverse scan over the recorded backlinks, emitting a
+    fixed-shape boolean mask. Gaussian-smoothed ``local`` score as in the
+    original (sigma = period/32)."""
+    t_frames = env.shape[-1]
+    if bpm is None:
+        bpm = tempo(env, sample_rate, hop, start_bpm=start_bpm)
+    bpm = jnp.asarray(bpm, jnp.float32)
+    period = 60.0 * sample_rate / (hop * bpm)  # traced, frames
+    period = jnp.clip(period, 1.0, max_period)
+
+    # local score: gaussian blur of the envelope. Static kernel sized for
+    # max_period; the traced sigma = period/32 enters through the weights.
+    kh = int(max_period) // 16  # covers sigma up to max_period/32 at 2 sigma
+    k = jnp.arange(-kh, kh + 1, dtype=jnp.float32)
+    sigma = period[..., None] / 32.0
+    kern = jnp.exp(-0.5 * (k / jnp.maximum(sigma, 1e-3)) ** 2)
+    kern = kern / kern.sum(axis=-1, keepdims=True)
+    pads = [(0, 0)] * (env.ndim - 1) + [(kh, kh)]
+    ep = jnp.pad(env, pads)
+    win = frame(ep, 2 * kh + 1, 1)[..., :t_frames, :]  # [..., T, K]
+    local = (win * kern[..., None, :]).sum(axis=-1)
+
+    w = 2 * int(max_period)
+    gaps = jnp.arange(w, 0, -1, dtype=jnp.float32)  # carry[j] is t - gaps[j]
+    valid = jnp.logical_and(
+        gaps[..., :] >= (period[..., None] / 2.0), gaps <= 2.0 * period[..., None]
+    )
+    cost = -tightness * jnp.log(gaps / period[..., None]) ** 2
+    cost = jnp.where(valid, cost, -jnp.inf)  # [..., W]
+
+    local_t = jnp.moveaxis(local, -1, 0)  # [T, ...]
+    neg = jnp.float32(-jnp.inf)
+
+    def body(carry, lt):
+        # carry: [..., W] cumulative scores for frames t-W .. t-1
+        prev = carry + cost
+        best = prev.max(axis=-1)
+        arg = prev.argmax(axis=-1)
+        score = lt + jnp.maximum(best, 0.0)
+        has_pred = best > 0.0
+        backgap = jnp.where(has_pred, w - arg, 0).astype(jnp.int32)  # 0 = first beat
+        carry = jnp.concatenate([carry[..., 1:], score[..., None]], axis=-1)
+        return carry, (score, backgap)
+
+    init = jnp.full((*env.shape[:-1], w), neg)
+    _, (scores_t, backgap_t) = jax.lax.scan(body, init, local_t)
+    scores = jnp.moveaxis(scores_t, 0, -1)  # [..., T]
+    backgaps = jnp.moveaxis(backgap_t, 0, -1)
+
+    last = jnp.argmax(scores, axis=-1)  # best-scoring final beat
+
+    # reverse scan: walk the backlinks from `last`, marking beats
+    idx_t = jnp.arange(t_frames - 1, -1, -1)  # scan visits T-1 .. 0
+    bg_rev = jnp.moveaxis(backgaps, -1, 0)[::-1]  # aligned with idx_t
+
+    def back(carry, inp):
+        nxt = carry  # index of the next beat to mark (or -1: done)
+        t_i, bg = inp
+        mark = t_i == nxt
+        gap = bg  # 0 means this was a chain head
+        nxt = jnp.where(mark, jnp.where(gap > 0, t_i - gap, -1), nxt)
+        return nxt, mark
+
+    _, marks_rev = jax.lax.scan(back, last, (idx_t, bg_rev))
+    mask = jnp.moveaxis(marks_rev[::-1], 0, -1)
+    return mask, bpm

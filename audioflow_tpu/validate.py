@@ -203,6 +203,19 @@ def run_validation(seed: int = 0) -> dict:
     f0 = np.asarray(ops.yin(jnp.asarray(xy), 16000, fmin=80, fmax=1200))
     report["yin_220_rel"] = float(np.abs(f0[4:-4] - 220.0).max() / 220.0)
 
+    # CQT: 440 Hz tone must land in its bin at the unit-amplitude
+    # convention (ops/cqt.py normalization) — gates the per-octave matmul
+    # kernels at their shipped precision on chip. Row is |mag - 1| at the
+    # tone bin, forced to 1.0 if the argmax bin is wrong.
+    tq = np.arange(16000, dtype=np.float64) / 16000.0
+    xq2 = np.sin(2 * np.pi * 440.0 * tq).astype(np.float32)
+    cq = np.asarray(ops.cqt(jnp.asarray(xq2), 16000, n_bins=48, fmin=110.0))
+    mid = cq[cq.shape[0] // 2]
+    k440 = 24  # 2 octaves above fmin=110
+    report["cqt_440_mag_err"] = (
+        float(abs(mid[k440] - 1.0)) if int(np.argmax(mid)) == k440 else 1.0
+    )
+
     # FIR direct path vs float64 serial convolution (gates the TPU conv
     # precision rule — an unpinned conv truncates to bf16, ~3e-3 here)
     hf = ops.fir_design(65, 2000.0, 16000.0)
@@ -222,6 +235,7 @@ def run_validation(seed: int = 0) -> dict:
             "melspec_pallas_vs_xla_logmel",
             "loudness_997_anchor_lu",
             "yin_220_rel",
+            "cqt_440_mag_err",
         )
     ]
     report["max_abs_err"] = max(report[k] for k in float_keys)
@@ -233,5 +247,6 @@ def run_validation(seed: int = 0) -> dict:
         and report.get("melspec_pallas_vs_xla_logmel", 0.0) < 5e-3
         and report["loudness_997_anchor_lu"] < 1e-2
         and report["yin_220_rel"] < 5e-3
+        and report["cqt_440_mag_err"] < 5e-2
     )
     return report

@@ -308,3 +308,38 @@ def test_cli_features_and_chroma_graphs(tmp_path, capsys):
     c = np.load(tmp_path / "c.npy")
     assert c.shape[-1] == 12
     assert c[0, 4:-4].mean(axis=0).argmax() == 9  # A440
+
+
+def test_cli_music_graphs(tmp_path, capsys):
+    rng = np.random.default_rng(3)
+    t = np.arange(2 * 16000) / 16000
+    p = tmp_path / "t.wav"
+    write_wav(p, (0.4 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32), 16000)
+    # cqt: A440 is bin 9 + 3 octaves above C1 = 45
+    assert cli_main(["run", "-i", str(p), "-g", "cqt", "-o", str(tmp_path / "q.npy")]) == 0
+    capsys.readouterr()
+    q = np.load(tmp_path / "q.npy")
+    assert q.shape[-1] == 84
+    assert q[0, 4:-4].mean(axis=0).argmax() == 45
+    # contrast + tonnetz shapes
+    assert cli_main(["run", "-i", str(p), "-g", "contrast", "-o", str(tmp_path / "sc.npy")]) == 0
+    capsys.readouterr()
+    assert np.load(tmp_path / "sc.npy").shape[-1] == 7
+    assert cli_main(["run", "-i", str(p), "-g", "tonnetz", "-o", str(tmp_path / "tn.npy")]) == 0
+    capsys.readouterr()
+    assert np.load(tmp_path / "tn.npy").shape[-1] == 6
+    # onset + beats on a click track
+    clicks = np.zeros(4 * 16000, np.float32)
+    clicks[::8000] = 0.9
+    clicks += 0.005 * rng.standard_normal(len(clicks)).astype(np.float32)
+    pc = tmp_path / "clicks.wav"
+    write_wav(pc, clicks, 16000)
+    assert cli_main(["run", "-i", str(pc), "-g", "onset", "-o", str(tmp_path / "e.npy")]) == 0
+    capsys.readouterr()
+    env = np.load(tmp_path / "e.npy")
+    assert env.shape[-1] == 1 and env.max() > 10.0  # dB-scale click jumps
+    assert cli_main(["run", "-i", str(pc), "-g", "beats", "-o", str(tmp_path / "b.npy")]) == 0
+    capsys.readouterr()
+    beats = np.flatnonzero(np.load(tmp_path / "b.npy")[0, :, 0])
+    assert len(beats) >= 5
+    assert np.all(np.abs(np.diff(beats) - 31.25) <= 3.0)

@@ -1,0 +1,409 @@
+"""Music-analysis families: spectral contrast, tonnetz, rhythm (onset/tempo/
+beat), and the constant-Q transform. Oracles are independent float64 serial
+numpy implementations of each documented convention."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audioflow_tpu import ops
+
+FS = 16000
+
+
+# ---------------------------------------------------------------- contrast
+
+def test_spectral_contrast_matches_serial_oracle(rng):
+    n_fft = 1024
+    mag = rng.random((3, 20, n_fft // 2 + 1)).astype(np.float32) + 0.01
+    got = np.asarray(ops.spectral_contrast(jnp.asarray(mag), FS, n_fft))
+    bands = ops.contrast_bands(FS, n_fft, 6, 200.0)
+    assert bands[0][0] == 0 and bands[-1][1] == n_fft // 2 + 1
+    want = np.zeros((3, 20, 7))
+    for bi, (lo, hi) in enumerate(bands):
+        k = max(int(round(0.02 * (hi - lo))), 1)
+        for b in range(3):
+            for t in range(20):
+                sub = np.sort(mag[b, t, lo:hi].astype(np.float64))
+                valley = sub[:k].mean()
+                peak = sub[-k:].mean()
+                want[b, t, bi] = 20.0 * (
+                    np.log10(peak + 1e-10) - np.log10(valley + 1e-10)
+                )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_spectral_contrast_tone_beats_noise(rng):
+    # a pure tone frame has far higher contrast in its band than white noise
+    n_fft = 2048
+    f = ops.fft_frequencies(FS, n_fft)
+    tone = np.zeros(n_fft // 2 + 1, np.float32)
+    tone[np.argmin(np.abs(f - 1000.0))] = 1.0
+    noise = rng.random(n_fft // 2 + 1).astype(np.float32) + 0.5
+    both = jnp.asarray(np.stack([tone, noise])[:, None, :])
+    c = np.asarray(ops.spectral_contrast(both, FS, n_fft))
+    band_1k = next(
+        i for i, (lo, hi) in enumerate(ops.contrast_bands(FS, n_fft))
+        if ops.fft_frequencies(FS, n_fft)[lo] <= 1000.0 < ops.fft_frequencies(FS, n_fft)[min(hi, n_fft // 2)]
+    )
+    assert c[0, 0, band_1k] > c[1, 0, band_1k] + 20.0
+
+
+def test_contrast_bands_validation():
+    with pytest.raises(ValueError):
+        ops.contrast_bands(FS, 1024, n_bands=8)  # top band start past Nyquist
+    with pytest.raises(ValueError):
+        ops.contrast_bands(FS, 16, n_bands=3)  # 1 kHz bins: 200-400 Hz empty
+
+
+# ---------------------------------------------------------------- tonnetz
+
+def test_tonnetz_matches_serial_oracle(rng):
+    ch = rng.random((2, 15, 12)).astype(np.float32)
+    got = np.asarray(ops.tonnetz(jnp.asarray(ch)))
+    basis = ops.tonnetz_basis(12)  # [12, 6]
+    want = np.zeros((2, 15, 6))
+    for b in range(2):
+        for t in range(15):
+            c = ch[b, t].astype(np.float64)
+            c = c / max(np.abs(c).sum(), 1e-10)
+            want[b, t] = c @ basis
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert got.shape == (2, 15, 6)
+
+
+def test_tonnetz_fifths_separation():
+    # C major triad vs C# major triad: the fifths circle coordinates rotate
+    def triad(root):
+        c = np.zeros(12, np.float32)
+        c[[root % 12, (root + 4) % 12, (root + 7) % 12]] = 1.0
+        return c
+
+    tn = np.asarray(ops.tonnetz(jnp.asarray(np.stack([triad(0), triad(1)])[:, None, :])))
+    assert np.abs(tn[0, 0] - tn[1, 0]).max() > 0.1
+
+
+# ---------------------------------------------------------------- rhythm
+
+def _click_track(bpm, seconds, fs=FS, rng=None):
+    x = np.zeros(int(seconds * fs), np.float32)
+    step = int(round(60.0 / bpm * fs))
+    x[::step] = 1.0
+    if rng is not None:
+        x += 0.01 * rng.standard_normal(len(x)).astype(np.float32)
+    return x
+
+
+def _mel_power(x, n_fft=1024, hop=256, n_mels=64):
+    spec = ops.spectrogram(jnp.asarray(x), n_fft, hop, center=False, power=True)
+    fb = ops.mel_filterbank(n_fft // 2 + 1, n_mels, FS)
+    return ops.apply_mel(spec, jnp.asarray(fb.astype(np.float32)))
+
+
+def test_onset_strength_matches_serial_oracle(rng):
+    mp = rng.random((2, 30, 8)).astype(np.float32) + 1e-6
+    got = np.asarray(ops.onset_strength(jnp.asarray(mp), lag=2))
+    s = 10.0 * np.log10(np.maximum(mp.astype(np.float64), 1e-10))
+    want = np.zeros((2, 30))
+    for b in range(2):
+        for t in range(2, 30):
+            want[b, t] = np.maximum(s[b, t] - s[b, t - 2], 0.0).mean()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    with pytest.raises(ValueError):
+        ops.onset_strength(jnp.asarray(mp), lag=0)
+
+
+def test_onset_peaks_on_clicks(rng):
+    hop = 256
+    x = _click_track(120, 4.0, rng=rng)
+    env = np.asarray(ops.onset_strength(_mel_power(x, hop=hop)))
+    # the envelope is in dB units; clicks jump tens of dB over the noise
+    # floor, so a 5 dB delta isolates them
+    mask = np.asarray(ops.peak_pick(jnp.asarray(env), delta=5.0, wait=10))
+    onsets = np.flatnonzero(mask)
+    # clicks every 0.5 s = every 31.25 frames; expect ~8 onsets in 4 s
+    assert 5 <= len(onsets) <= 10, onsets
+    gaps = np.diff(onsets)
+    assert np.all(np.abs(gaps - 31.25) <= 2.0)
+
+
+def test_peak_pick_matches_serial_oracle(rng):
+    env = rng.random(200).astype(np.float32)
+    pm, qm, pa, qa, delta, wait = 3, 3, 10, 10, 0.05, 4
+    got = np.asarray(ops.peak_pick(jnp.asarray(env), pm, qm, pa, qa, delta, wait))
+    e = env.astype(np.float64)
+    want = np.zeros(200, bool)
+    since = wait
+    for t in range(200):
+        wmax = e[max(t - pm, 0) : t + qm + 1].max()
+        wavg = e[max(t - pa, 0) : t + qa + 1].mean()
+        cand = e[t] >= wmax and e[t] >= wavg + delta
+        if cand and since >= wait:
+            want[t] = True
+            since = 0
+        else:
+            since += 1
+    np.testing.assert_array_equal(got, want)
+
+
+def test_autocorrelate_matches_numpy(rng):
+    x = rng.standard_normal(128).astype(np.float32)
+    got = np.asarray(ops.autocorrelate(jnp.asarray(x), max_lag=32))
+    full = np.correlate(x.astype(np.float64), x.astype(np.float64), "full")
+    want = full[127 : 127 + 33]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_tempogram_shape_and_norm(rng):
+    env = rng.random((2, 100)).astype(np.float32)
+    tg = np.asarray(ops.tempogram(jnp.asarray(env), win_length=64))
+    assert tg.shape == (2, 100, 64)
+    np.testing.assert_allclose(tg[..., 0], 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("bpm", [90.0, 120.0, 150.0])
+def test_tempo_recovers_click_bpm(rng, bpm):
+    hop = 256
+    x = _click_track(bpm, 8.0, rng=rng)
+    env = ops.onset_strength(_mel_power(x, hop=hop))
+    got = float(ops.tempo(env, FS, hop))
+    assert abs(got - bpm) / bpm < 0.05, got
+
+
+def test_tempo_silence_fallback():
+    env = jnp.zeros(300)
+    assert float(ops.tempo(env, FS, 256)) == pytest.approx(120.0)
+
+
+def test_beat_track_clicks(rng):
+    hop, bpm = 256, 120.0
+    x = _click_track(bpm, 8.0, rng=rng)
+    env = ops.onset_strength(_mel_power(x, hop=hop))
+    mask, got_bpm = ops.beat_track(env, FS, hop)
+    mask = np.asarray(mask)
+    assert abs(float(got_bpm) - bpm) / bpm < 0.05
+    beats = np.flatnonzero(mask)
+    # period 31.25 frames over ~500 frames -> ~15 beats, evenly spaced
+    assert 12 <= len(beats) <= 18, beats
+    gaps = np.diff(beats)
+    assert np.all(np.abs(gaps - 31.25) <= 3.0), gaps
+    # beat phase is consistent (absolute phase carries a fixed framing
+    # offset from onset_strength's lag/framing; regularity is the behavior)
+    phase = beats.astype(np.float64) % 31.25
+    phase_spread = np.minimum(
+        np.abs(phase - np.median(phase)), 31.25 - np.abs(phase - np.median(phase))
+    )
+    assert phase_spread.max() <= 3.0, phase
+
+
+def test_beat_track_batched_lanes(rng):
+    hop = 256
+    x = np.stack([_click_track(100.0, 6.0, rng=rng), _click_track(140.0, 6.0, rng=rng)])
+    env = ops.onset_strength(_mel_power(x, hop=hop))
+    mask, bpms = ops.beat_track(env, FS, hop)
+    bpms = np.asarray(bpms)
+    assert abs(bpms[0] - 100.0) / 100.0 < 0.05
+    assert abs(bpms[1] - 140.0) / 140.0 < 0.05
+    assert mask.shape == env.shape
+
+
+# ---------------------------------------------------------------- cqt
+
+def test_cqt_tone_hits_bin():
+    n_bins, b = 48, 12
+    fmin = 110.0
+    freqs = ops.cqt_frequencies(n_bins, fmin, b)
+    k = 30
+    t = np.arange(int(FS * 1.5)) / FS
+    x = np.sin(2 * np.pi * freqs[k] * t).astype(np.float32)
+    c = np.asarray(ops.cqt(jnp.asarray(x), FS, hop=512, n_bins=n_bins, fmin=fmin))
+    mid = c[c.shape[0] // 2]
+    assert int(np.argmax(mid)) == k
+    assert abs(mid[k] - 1.0) < 0.05  # unit-amplitude convention
+    # octave separation: the same pitch class one octave off is far weaker
+    assert mid[k - 12] < 0.15 and (k + 12 >= n_bins or mid[k + 12] < 0.15)
+
+
+def test_cqt_impls_agree(rng):
+    x = rng.standard_normal(FS).astype(np.float32)
+    outs = [
+        np.asarray(ops.cqt(jnp.asarray(x), FS, hop=512, n_bins=36, fmin=220.0,
+                           impl=impl))
+        for impl in ("onedot", "split", "direct")
+    ]
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-6)
+    np.testing.assert_allclose(outs[0], outs[2], atol=2e-6)
+
+
+def test_cqt_matches_serial_oracle(rng):
+    # small config so the f64 serial oracle is fast. Geometry per the
+    # module docstring: frame t's kernels center at t*hop + f0//2
+    # (center=False), f0 = hop * ceil((N_max + 1) / hop).
+    n_bins, bpo, fmin, hop = 24, 12, 440.0, 256
+    x = (0.3 * rng.standard_normal(4096)).astype(np.float32)
+    got = np.asarray(
+        ops.cqt(jnp.asarray(x), FS, hop=hop, n_bins=n_bins, fmin=fmin,
+                bins_per_octave=bpo, center=False, precision="highest")
+    )
+    freqs = ops.cqt_frequencies(n_bins, fmin, bpo)
+    lengths = ops.cqt_lengths(FS, n_bins, fmin, bpo)
+    f0 = ops.cqt_window_length(FS, hop, n_bins, fmin, bpo)
+    assert f0 % hop == 0 and f0 >= lengths[0] + 1
+    n_frames = (4096 - f0) // hop + 1
+    want = np.zeros((n_frames, n_bins))
+    for fidx in range(n_frames):
+        for k in range(n_bins):
+            nk = int(lengths[k])
+            center = fidx * hop + f0 // 2
+            start = center - (nk - 1) // 2
+            seg = x[start : start + nk].astype(np.float64)
+            w = ops.windows.get_window("hann", nk, periodic=False)
+            ang = 2 * np.pi * freqs[k] * (np.arange(nk) - (nk - 1) / 2) / FS
+            g = 2.0 / w.sum()
+            re = (seg * g * w * np.cos(ang)).sum()
+            im = -(seg * g * w * np.sin(ang)).sum()
+            want[fidx, k] = np.hypot(re, im)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    assert got.shape == (n_frames, n_bins)
+
+
+def test_cqt_center_true_centers_at_hop_grid():
+    # a click at sample t*hop dominates the frame centered there
+    hop, n_bins, fmin = 256, 36, 220.0
+    x = np.zeros(FS, np.float32)
+    x[10 * hop] = 1.0
+    c = np.asarray(ops.cqt(jnp.asarray(x), FS, hop=hop, n_bins=n_bins, fmin=fmin))
+    assert c.shape[0] == FS // hop + 1
+    # the top-octave bins (shortest kernels) localize the click
+    assert int(np.argmax(c[:, -1])) == 10
+
+
+def test_cqt_validation():
+    x = jnp.zeros(FS)
+    with pytest.raises(ValueError):
+        ops.cqt(x, FS, n_bins=120)  # top bin past Nyquist
+    with pytest.raises(ValueError):
+        ops.cqt(x, FS, output="db")
+    with pytest.raises(ValueError):
+        ops.cqt(x, FS, impl="fft")
+    with pytest.raises(ValueError):
+        ops.cqt(jnp.zeros(64), FS, center=False)  # too short
+
+
+# ---------------------------------------------------------------- nodes
+
+def test_contrast_tonnetz_nodes_stream_exactly(rng):
+    from audioflow_tpu.graph import Chroma, SpectralContrast, Spectrogram, Tonnetz, chain
+
+    g = chain(
+        Spectrogram(1024, 256, center=False, power=False),
+        SpectralContrast(),
+        input_rate=FS,
+    )
+    x = (0.3 * rng.standard_normal(8 * 4096)).astype(np.float32)
+    off = np.asarray(g.chain(jnp.asarray(x)))
+    chunk = g.chunk_granularity() * 8
+    st = np.asarray(g.scan_stream(jnp.asarray(x), chunk))
+    lat = g.stream_latency(chunk)
+    n = min(st.shape[0] - lat, off.shape[0])
+    np.testing.assert_allclose(st[lat : lat + n], off[:n], atol=1e-4)
+
+    g2 = chain(
+        Spectrogram(1024, 256, center=False, power=True), Chroma(), Tonnetz(),
+        input_rate=FS,
+    )
+    off2 = np.asarray(g2.chain(jnp.asarray(x)))
+    st2 = np.asarray(g2.scan_stream(jnp.asarray(x), chunk))
+    lat2 = g2.stream_latency(chunk)
+    n2 = min(st2.shape[0] - lat2, off2.shape[0])
+    np.testing.assert_allclose(st2[lat2 : lat2 + n2], off2[:n2], atol=1e-5)
+    assert off2.shape[-1] == 6
+
+
+def test_cqt_node_streams_exactly(rng):
+    from audioflow_tpu.graph import Cqt, chain
+
+    g = chain(
+        Cqt(hop=256, n_bins=36, fmin=220.0, center=False), input_rate=FS
+    )
+    x = (0.3 * rng.standard_normal(8 * 4096)).astype(np.float32)
+    off = np.asarray(g.chain(jnp.asarray(x)))
+    chunk = g.chunk_granularity() * 8
+    st = np.asarray(g.scan_stream(jnp.asarray(x), chunk))
+    lat = g.stream_latency(chunk)
+    assert lat > 0
+    n = min(st.shape[0] - lat, off.shape[0])
+    np.testing.assert_allclose(st[lat : lat + n], off[:n], atol=1e-5)
+
+
+def test_onset_strength_node_streams_exactly(rng):
+    from audioflow_tpu.graph import MelProject, OnsetStrength, Spectrogram, chain
+
+    n_mels = 40
+    g = chain(
+        Spectrogram(1024, 256, center=False, power=True),
+        MelProject(n_mels=n_mels, log=None),  # onset wants linear mel power
+        OnsetStrength(lag=2, n_bins=n_mels),
+        input_rate=FS,
+    )
+    chunk = g.chunk_granularity() * 8
+    x = _click_track(120, 6.0, rng=rng)
+    x = x[: len(x) // chunk * chunk]
+    off = np.asarray(g.chain(jnp.asarray(x)))
+    st = np.asarray(g.scan_stream(jnp.asarray(x), chunk))
+    lat = g.stream_latency(chunk)
+    n = min(st.shape[0] - lat, off.shape[0])
+    np.testing.assert_allclose(st[lat : lat + n], off[:n], atol=1e-4)
+    assert off.shape[-1] == 1
+
+
+def test_tempo_beat_nodes_offline_graph(rng):
+    from audioflow_tpu.graph import (
+        BeatTrack, MelProject, OnsetStrength, Spectrogram, Tempo, chain,
+    )
+
+    pre = (
+        Spectrogram(1024, 256, center=False, power=True),
+        MelProject(n_mels=64, log=None),  # onset wants linear mel power
+        OnsetStrength(n_bins=64),
+    )
+    x = _click_track(120.0, 8.0, rng=rng)
+    g_t = chain(*pre, Tempo(hop=256), input_rate=FS)
+    bpm = np.asarray(g_t.chain(jnp.asarray(x)))
+    assert bpm.shape == (1, 1)
+    assert abs(bpm[0, 0] - 120.0) / 120.0 < 0.05
+    g_b = chain(*pre, BeatTrack(hop=256), input_rate=FS)
+    mask = np.asarray(g_b.chain(jnp.asarray(x)))
+    beats = np.flatnonzero(mask[:, 0])
+    assert len(beats) >= 10
+    assert not g_b.nodes[-1].streamable
+
+
+def test_music_nodes_spec_round_trip(rng):
+    from audioflow_tpu.graph import (
+        Cqt, OnsetStrength, SpectralContrast, Spectrogram, Tonnetz, chain,
+    )
+    from audioflow_tpu.config import graph_from_spec, graph_to_spec
+
+    g = chain(
+        Spectrogram(1024, 256, center=False, power=False),
+        SpectralContrast(n_bands=5, fmin=250.0),
+        input_rate=FS,
+    )
+    g2 = graph_from_spec(graph_to_spec(g))
+    assert g2.nodes == g.nodes
+    g3 = chain(Cqt(n_bins=36, fmin=220.0), input_rate=FS)
+    g4 = graph_from_spec(graph_to_spec(g3))
+    assert g4.nodes == g3.nodes
+    x = jnp.asarray(rng.standard_normal(FS // 2).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(g3(x)), np.asarray(g4(x)), atol=1e-6)
+
+
+def test_cqt_complex_and_power_consistent(rng):
+    x = rng.standard_normal(FS // 2).astype(np.float32)
+    z = np.asarray(ops.cqt(jnp.asarray(x), FS, n_bins=24, fmin=440.0,
+                           output="complex"))
+    p = np.asarray(ops.cqt(jnp.asarray(x), FS, n_bins=24, fmin=440.0,
+                           output="power"))
+    np.testing.assert_allclose(np.abs(z) ** 2, p, rtol=1e-4, atol=1e-7)

@@ -246,6 +246,51 @@ def test_new_family_nodes_shard_with_zero_collectives(rng):
             assert coll not in hlo, (g.name, coll)
 
 
+def test_music_family_nodes_shard_with_zero_collectives(rng):
+    """CQT (per-octave matmul kernels), spectral contrast (per-band sort),
+    tonnetz (tiny matmul), and onset strength (elementwise flux) are
+    batch-elementwise: zero cross-chip communication when batch-sharded.
+    (Tempo/BeatTrack ride FFT autocorrelation and gather — covered by the
+    documented-FFT test below.)"""
+    from audioflow_tpu.graph import (
+        Chroma,
+        Cqt,
+        MelProject,
+        OnsetStrength,
+        SpectralContrast,
+        Spectrogram,
+        Tonnetz,
+        chain,
+    )
+
+    mesh = make_mesh()
+    x = shard_batch(rng.standard_normal((8, 32768)).astype(np.float32), mesh)
+    graphs = [
+        chain(Cqt(n_bins=36, fmin=220.0, center=False), input_rate=16000),
+        chain(
+            Spectrogram(512, 128, center=False, power=False),
+            SpectralContrast(),
+            input_rate=16000,
+        ),
+        chain(
+            Spectrogram(512, 128, center=False, power=True),
+            Chroma(),
+            Tonnetz(),
+            input_rate=16000,
+        ),
+        chain(
+            Spectrogram(512, 128, center=False, power=True),
+            MelProject(n_mels=40, log=None),
+            OnsetStrength(n_bins=40),
+            input_rate=16000,
+        ),
+    ]
+    for g in graphs:
+        hlo = compile_sharded(g, mesh).lower(x).compile().as_text().lower()
+        for coll in ("all-reduce(", "all-gather(", "collective-permute(", "all-to-all(", "reduce-scatter("):
+            assert coll not in hlo, (g.nodes[-1], coll)
+
+
 def test_fft_based_analysis_gathers_under_sharding_documented(rng):
     """YIN (FFT autocorrelation) and FIR impl='fft' ride XLA's FFT op, which
     GSPMD does not partition — like Stft(impl='fft'), they all-gather the
