@@ -499,7 +499,12 @@ def cmd_vad(args) -> int:
 
 
 def cmd_pitch(args) -> int:
-    """YIN f0 track of an audio file: frame times, f0 (Hz), voiced flag."""
+    """f0 track of an audio file: frame times, f0 (Hz), voiced flag.
+
+    ``--method yin`` (default) thresholds the CMND aperiodicity;
+    ``--method pyin`` runs the probabilistic tracker with HMM smoothing
+    (ops/pitch.py::pyin) — slower, but robust to octave jumps, and the
+    voicing decision is decoded, not thresholded."""
     import jax.numpy as jnp
 
     from . import ops
@@ -508,12 +513,21 @@ def cmd_pitch(args) -> int:
     data, rate = read_audio(args.input)
     if data.ndim == 2:
         data = data.mean(axis=1)
-    f0, ap = ops.yin_voicing(
-        jnp.asarray(data, jnp.float32), rate, args.fmin, args.fmax,
-        args.frame_length, args.hop,
-    )
-    f0, ap = np.asarray(f0), np.asarray(ap)
-    voiced = ap < args.voiced_threshold
+    if args.method == "pyin":
+        f0, vflag, vprob = ops.pyin(
+            jnp.asarray(data, jnp.float32), rate, args.fmin, args.fmax,
+            args.frame_length, args.hop,
+        )
+        f0 = np.asarray(f0)
+        voiced = np.asarray(vflag)
+        ap = 1.0 - np.asarray(vprob)  # report as aperiodicity-like score
+    else:
+        f0, ap = ops.yin_voicing(
+            jnp.asarray(data, jnp.float32), rate, args.fmin, args.fmax,
+            args.frame_length, args.hop,
+        )
+        f0, ap = np.asarray(f0), np.asarray(ap)
+        voiced = ap < args.voiced_threshold
     hop_s = args.hop / rate
     track = [
         {
@@ -714,8 +728,13 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--config")
     v.set_defaults(fn=cmd_vad)
 
-    pt = sub.add_parser("pitch", help="YIN f0 track of an audio file")
+    pt = sub.add_parser("pitch", help="YIN/pYIN f0 track of an audio file")
     pt.add_argument("-i", "--input", required=True)
+    pt.add_argument(
+        "--method", choices=("yin", "pyin"), default="yin",
+        help="yin: CMND + aperiodicity threshold; pyin: probabilistic "
+        "candidates + HMM Viterbi voicing/pitch decode",
+    )
     pt.add_argument("--fmin", type=float, default=65.0)
     pt.add_argument("--fmax", type=float, default=2093.0)
     pt.add_argument("--frame-length", type=int, default=2048)

@@ -1218,10 +1218,11 @@ class Yin(Node):
     ``[..., F, 2]`` (ops/pitch.py). Streaming mirrors Stft's hop-aligned
     overlap carry (center=False), so streamed == offline exactly.
 
-    Sharding note: the CMND rides XLA's FFT (autocorrelation), which GSPMD
-    does not partition — a batch-sharded Yin all-gathers the batch, like
-    Stft(impl="fft") (asserted in tests). Keep YIN per-host in
-    shard-sensitive pipelines."""
+    Sharding note: ``impl`` follows ops/pitch.py — "auto" runs the matmul
+    ACF on TPU (3x faster there AND batch-shards with zero collectives,
+    like every matmul-DFT node) and the FFT ACF elsewhere; the FFT form is
+    the one GSPMD all-gathers (asserted in tests). Force ``impl="matmul"``
+    on shard-sensitive CPU paths."""
 
     fmin: float = 65.0
     fmax: float = 2093.0
@@ -1230,6 +1231,8 @@ class Yin(Node):
     threshold: float = 0.1
     center: bool = True
     sample_rate: int | None = None
+    impl: str = "auto"
+    precision: str | None = None
 
     domain_out = "frames"
 
@@ -1241,7 +1244,7 @@ class Yin(Node):
     def apply(self, x):
         f0, ap = ops.yin_voicing(
             x, self._rate(), self.fmin, self.fmax, self.frame_length,
-            self.hop, self.threshold, self.center,
+            self.hop, self.threshold, self.center, self.impl, self.precision,
         )
         return jnp.stack([f0, ap], axis=-1)
 
@@ -1277,10 +1280,54 @@ class Yin(Node):
         buf = jnp.concatenate([carry, chunk], axis=-1)
         f0, ap = ops.yin_voicing(
             buf, self._rate(), self.fmin, self.fmax, self.frame_length,
-            self.hop, self.threshold, center=False,
+            self.hop, self.threshold, False, self.impl, self.precision,
         )
         out = jnp.stack([f0, ap], axis=-1)
         return buf[..., buf.shape[-1] - self._carry_len :], out
+
+
+@register_node
+@dataclass(frozen=True)
+class Pyin(Node):
+    """pYIN probabilistic pitch tracker: samples -> per-frame
+    ``[f0_hz, voiced_flag, voiced_prob]`` stacked ``[..., F, 3]``
+    (ops/pitch.py::pyin; voiced_flag is 0.0/1.0 so the node output stays one
+    float tensor). The HMM Viterbi smoothing is a whole-sequence decode with
+    unbounded lookback, so the node is offline-only by design (the same
+    argument as Deltas order 2 — no constant-latency streaming form)."""
+
+    fmin: float = 65.0
+    fmax: float = 2093.0
+    frame_length: int = 2048
+    hop: int = 256
+    center: bool = True
+    resolution: float = 0.1
+    switch_prob: float = 0.01
+    sample_rate: int | None = None
+    impl: str = "auto"
+    precision: str | None = None
+    streamable = False
+
+    domain_out = "frames"
+
+    def _rate(self):
+        if self.sample_rate is None:
+            raise AudioError("Pyin.sample_rate unresolved; set input_rate on the graph")
+        return self.sample_rate
+
+    def apply(self, x):
+        f0, voiced, vprob = ops.pyin(
+            x, self._rate(), self.fmin, self.fmax, self.frame_length,
+            self.hop, self.center, resolution=self.resolution,
+            switch_prob=self.switch_prob, impl=self.impl,
+            precision=self.precision,
+        )
+        return jnp.stack([f0, voiced.astype(f0.dtype), vprob], axis=-1)
+
+    def out_len(self, n_in):
+        if self.center:
+            n_in = n_in + 2 * (self.frame_length // 2)
+        return (n_in - self.frame_length) // self.hop + 1
 
 
 @register_node

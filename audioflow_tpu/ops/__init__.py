@@ -15,6 +15,7 @@ from . import (
     framing,
     griffinlim,
     loudness,
+    lpc as lpc_mod,
     mel,
     phase_vocoder,
     pitch,
@@ -22,6 +23,7 @@ from . import (
     resample,
     rhythm,
     ring,
+    sequence,
     stft,
     vad,
     windows,
@@ -93,9 +95,10 @@ from .loudness import (
     shortterm_loudness,
     true_peak,
 )
+from .lpc import lpc, lpc_from_autocorr, lpc_residual_energy
 from .mel import apply_mel, dct_matrix, log_mel, log_mel_fused, mel_filterbank, mfcc
 from .phase_vocoder import phase_vocoder, pitch_shift, time_stretch
-from .pitch import cmnd_frames, yin, yin_frames, yin_voicing
+from .pitch import ACF_PRECISION_DEFAULT, cmnd_frames, pyin, pyin_frames, yin, yin_frames, yin_voicing
 from .quantize import dequantize_i16, quantize_i16, quantize_i16_round
 from .resample import ResamplePlan, make_plan, resample, resample_apply
 from .rhythm import (
@@ -108,6 +111,7 @@ from .rhythm import (
     tempogram,
 )
 from .ring import Ring, ring_available, ring_clear, ring_free, ring_init, ring_read, ring_write
+from .sequence import dtw, max_plus_band, max_plus_band_argmax, transition_local, viterbi
 from .stft import istft, magnitude, power, spectrogram, stft
 from .vad import VAD_LEVELS, VadCarry, VadConfig, is_speaking, vad_init, vad_scan, vad_step
 from .windows import get_window

@@ -1,35 +1,117 @@
 """YIN fundamental-frequency estimation (de Cheveigné & Kawahara 2002).
 
 TPU formulation: the difference function d(tau) over all frames at once via
-one batched FFT autocorrelation (d(tau) = e0 + e(tau) - 2*acf(tau), the
+one batched autocorrelation (d(tau) = e0 + e(tau) - 2*acf(tau), the
 energies from a cumulative sum), cumulative-mean normalization as a cumsum
 along the lag axis, and the trough search as masked argmax/argmin with
 static shapes — no per-frame Python, the whole tracker is one jittable
 expression. Conventions follow librosa.yin (win = frame//2, lag range from
 fmin/fmax, trough threshold 0.1, parabolic interpolation) so results are
 oracle-checkable; the serial float64 oracle lives in the tests.
+
+The ACF itself has two implementations (``impl=``): ``"fft"`` (the rFFT
+correlation trick) and ``"matmul"`` — real cos|sin DFT banks on the MXU at
+the *minimal* no-wraparound transform length n = win + max_lag, the
+spectrogram lesson applied to correlation. On this TPU runtime XLA's FFT is
+the whole tracker's bottleneck (52 of 60 ms at the benchmark config;
+BENCHMARKS.md), and the matmul form is ~3x faster end-to-end with p99 f0
+agreement of 0.004 Hz, so ``"auto"`` picks matmul on TPU and FFT elsewhere.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
+from ._mm import mm
 from .framing import frame
+
+ACF_PRECISION_DEFAULT = "high"  # bf16x3: 1e-5-scale acf error, 0.004 Hz p99 f0
+
+
+@lru_cache(maxsize=16)
+def _acf_banks(w: int, t_max: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Host-built correlation banks for the matmul ACF.
+
+    Forward bank [w + t_max, 2K] maps a frame to its (Re | Im) DFT at the
+    minimal even transform length n >= w + t_max (no wraparound for lags
+    0..t_max when correlating against the length-w window prefix); inverse
+    bank [2K, t_max + 1] is the truncated irfft with Hermitian weights.
+    float64 design, f32 ship (f32-representable to ~1e-8; the dots run at
+    the configured MXU precision).
+    """
+    m = w + t_max
+    n = m + (m & 1)  # even so the Nyquist bin exists and is unpaired
+    k_count = n // 2 + 1
+    j = np.arange(m, dtype=np.float64)[:, None]
+    k = np.arange(k_count, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * j * k / n
+    fwd = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)  # [m, 2K]
+    tau = np.arange(t_max + 1, dtype=np.float64)[None, :]
+    wk = np.full((k_count, 1), 2.0)
+    wk[0, 0] = 1.0
+    wk[-1, 0] = 1.0
+    angi = 2.0 * np.pi * np.arange(k_count, dtype=np.float64)[:, None] * tau / n
+    inv = np.concatenate([wk * np.cos(angi) / n, -wk * np.sin(angi) / n], axis=0)
+    return fwd.astype(np.float32), inv.astype(np.float32), k_count
+
+
+def _acf_fft(fr: jnp.ndarray, w: int, t_max: int) -> jnp.ndarray:
+    """acf(tau) = sum_{j<w} x_j x_{j+tau} via zero-padded rFFT correlation."""
+    n = 1 << (w + 2 * t_max).bit_length()
+    spec_full = jnp.fft.rfft(fr, n=n, axis=-1)
+    spec_win = jnp.fft.rfft(fr[..., :w], n=n, axis=-1)
+    return jnp.fft.irfft(spec_full * jnp.conj(spec_win), n=n, axis=-1)[
+        ..., : t_max + 1
+    ]
+
+
+def _acf_matmul(
+    fr: jnp.ndarray, w: int, t_max: int, precision: str | None
+) -> jnp.ndarray:
+    """Same correlation as :func:`_acf_fft`, as three MXU dots."""
+    fwd, inv, k_count = _acf_banks(w, t_max)
+    p = precision or ACF_PRECISION_DEFAULT
+    f_spec = mm(fr, jnp.asarray(fwd), p)  # [..., 2K] (Re | Im)
+    w_spec = mm(fr[..., :w], jnp.asarray(fwd[:w]), p)
+    re_f, im_f = f_spec[..., :k_count], f_spec[..., k_count:]
+    re_w, im_w = w_spec[..., :k_count], w_spec[..., k_count:]
+    # F * conj(W), packed (Re | Im) to feed one inverse dot
+    prod = jnp.concatenate(
+        [re_f * re_w + im_f * im_w, im_f * re_w - re_f * im_w], axis=-1
+    )
+    return mm(prod, jnp.asarray(inv), p)
+
+
+def _resolve_acf_impl(impl: str) -> str:
+    if impl == "auto":
+        return "matmul" if jax.default_backend() == "tpu" else "fft"
+    if impl not in ("fft", "matmul"):
+        raise ValueError(f"unknown acf impl {impl!r}; known: auto, fft, matmul")
+    return impl
 
 
 def cmnd_frames(
-    frames: jnp.ndarray, win: int | None = None, max_lag: int | None = None
+    frames: jnp.ndarray,
+    win: int | None = None,
+    max_lag: int | None = None,
+    impl: str = "auto",
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Cumulative-mean-normalized difference d'(tau) for frames [..., F, L].
 
     Lags 0..T inclusive (T = ``max_lag`` or W = win or L//2); d'(0) = 1 by
     definition. The difference function d(tau) = sum_{j<W} (x_j - x_{j+tau})^2
-    expands to e0 + e(tau) - 2*acf(tau); acf rides one zero-padded FFT
-    correlation. Truncating to ``max_lag`` (the pitch search never looks past
-    sr/fmin) shrinks the frames the FFT sees to W + max_lag samples —
-    measured 2x end-to-end at the yin() defaults (BENCHMARKS.md).
+    expands to e0 + e(tau) - 2*acf(tau); acf rides one batched correlation
+    (``impl``: "auto"/"fft"/"matmul" — see the module docstring; ``precision``
+    caps the matmul form's MXU passes, default ``ACF_PRECISION_DEFAULT``).
+    Truncating to ``max_lag`` (the pitch search never looks past sr/fmin)
+    shrinks the correlated frames to W + max_lag samples — measured 2x
+    end-to-end at the yin() defaults (BENCHMARKS.md).
     """
     l = frames.shape[-1]
     w = win or l // 2
@@ -39,12 +121,10 @@ def cmnd_frames(
             f"win {w} + max_lag {t_max} needs frame_length >= {w + t_max}, got {l}"
         )
     frames = frames[..., : w + t_max]  # samples beyond W + max_lag never used
-    n = 1 << (w + 2 * t_max).bit_length()  # linear correlation for lags <= t_max
-    # acf(tau) = sum_{j < w} x_j x_{j+tau}: cross-correlate the W-sample
-    # window against the (truncated) frame (irfft(X * conj(Xw))[tau] = that sum)
-    spec_full = jnp.fft.rfft(frames, n=n, axis=-1)
-    spec_win = jnp.fft.rfft(frames[..., :w], n=n, axis=-1)
-    acf = jnp.fft.irfft(spec_full * jnp.conj(spec_win), n=n, axis=-1)[..., : t_max + 1]
+    if _resolve_acf_impl(impl) == "matmul":
+        acf = _acf_matmul(frames, w, t_max, precision)
+    else:
+        acf = _acf_fft(frames, w, t_max)
     sq = frames * frames
     cs = jnp.cumsum(sq, axis=-1)
     zero = jnp.zeros_like(cs[..., :1])
@@ -68,6 +148,8 @@ def yin_frames(
     fmax: float = 2093.0,
     threshold: float = 0.1,
     win: int | None = None,
+    impl: str = "auto",
+    precision: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame (f0_hz, aperiodicity) from frames ``[..., F, L]``.
 
@@ -88,7 +170,7 @@ def yin_frames(
         )
     # one lag past tau_hi so the trough test and parabolic refinement at the
     # range edge see a real neighbor
-    dn = cmnd_frames(frames, w, min(tau_hi + 1, w))  # [..., F, T+1]
+    dn = cmnd_frames(frames, w, min(tau_hi + 1, w), impl, precision)  # [..., F, T+1]
     lags = jnp.arange(dn.shape[-1])
     in_range = (lags >= tau_lo) & (lags <= tau_hi)
     prev = jnp.concatenate([dn[..., :1], dn[..., :-1]], axis=-1)
@@ -125,13 +207,18 @@ def yin(
     hop: int = 256,
     threshold: float = 0.1,
     center: bool = True,
+    impl: str = "auto",
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Frame-wise f0 (Hz) of a signal ``[..., T]`` -> ``[..., F]``.
 
     ``center=True`` reflect-pads by frame_length//2 so frame i is centered
     on sample i*hop (librosa convention).
     """
-    f0, _ = yin_voicing(x, sample_rate, fmin, fmax, frame_length, hop, threshold, center)
+    f0, _ = yin_voicing(
+        x, sample_rate, fmin, fmax, frame_length, hop, threshold, center,
+        impl, precision,
+    )
     return f0
 
 
@@ -144,10 +231,278 @@ def yin_voicing(
     hop: int = 256,
     threshold: float = 0.1,
     center: bool = True,
+    impl: str = "auto",
+    precision: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Like :func:`yin` but also returns the per-frame aperiodicity."""
     if center:
         pads = [(0, 0)] * (x.ndim - 1) + [(frame_length // 2, frame_length // 2)]
         x = jnp.pad(x, pads, mode="reflect")
     fr = frame(x, frame_length, hop)
-    return yin_frames(fr, sample_rate, fmin, fmax, threshold)
+    return yin_frames(fr, sample_rate, fmin, fmax, threshold, None, impl, precision)
+
+
+# ---------------------------------------------------------------------------
+# pYIN (Mauch & Dixon 2014): probabilistic YIN with HMM smoothing.
+#
+# TPU formulation: every stage is batched over frames with static shapes —
+# the per-threshold candidate weighting is a lax.scan over the threshold
+# grid (each step one fused elementwise pass over [.., F, lags]), candidate
+# probabilities land in pitch bins through one batched scatter-add, and the
+# voiced/unvoiced HMM decode is a banded max-plus Viterbi (2w+1 shifted
+# adds per step, ops/sequence.py::max_plus_band_argmax) — the [2N, 2N]
+# transition matrix is never materialized. Conventions follow the paper and
+# the common tooling (beta-distributed thresholds, truncated-geometric
+# trough prior, local triangular pitch transitions, a global switch
+# probability between voiced and unvoiced tracks); the serial float64
+# oracle lives in tests/test_pitch.py. Two documented deviations from the
+# row-renormalized convention: (a) edge pitch bins use the truncated
+# (substochastic) triangular kernel so the decode stays a pure banded
+# max-plus; (b) trough depths are thresholded raw (without parabolic
+# height refinement).
+# ---------------------------------------------------------------------------
+
+
+def _beta_interval_masses(a: float, b: float, n_thresholds: int) -> np.ndarray:
+    """Probability mass of Beta(a, b) on each of ``n_thresholds`` equal
+    intervals of [0, 1] — host-side numpy quadrature (no scipy in the
+    package); dense trapezoid integration, exact to ~1e-8 for the smooth
+    shapes used here (endpoint-singular pdfs with a < 1 or b < 1 are
+    clipped at the singular sample, a documented approximation)."""
+    grid = np.linspace(0.0, 1.0, 1 << 17)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pdf = grid ** (a - 1.0) * (1.0 - grid) ** (b - 1.0)
+    pdf[~np.isfinite(pdf)] = 0.0
+    cdf = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * np.diff(grid))]
+    )
+    cdf /= cdf[-1]
+    edges = np.linspace(0.0, 1.0, n_thresholds + 1)
+    return np.diff(np.interp(edges, grid, cdf))
+
+
+def pyin_frames(
+    frames: jnp.ndarray,
+    sample_rate: float,
+    fmin: float = 65.0,
+    fmax: float = 2093.0,
+    *,
+    hop: int = 256,
+    win: int | None = None,
+    n_thresholds: int = 100,
+    beta_parameters: tuple[float, float] = (2.0, 18.0),
+    boltzmann_parameter: float = 2.0,
+    resolution: float = 0.1,
+    switch_prob: float = 0.01,
+    no_trough_prob: float = 0.01,
+    max_transition_rate: float = 35.92,
+    impl: str = "auto",
+    precision: str | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """pYIN from frames ``[..., F, L]`` -> ``(f0_hz, voiced_flag, voiced_prob)``.
+
+    Every CMND trough in the lag range becomes a pitch candidate whose
+    probability sums, over a beta-distributed grid of ``n_thresholds`` YIN
+    thresholds, a truncated-geometric prior (``boltzmann_parameter``) on the
+    trough's rank among those below each threshold; thresholds no trough
+    clears route ``no_trough_prob`` of their mass to the globally deepest
+    trough. Candidates are histogrammed into pitch bins of ``resolution``
+    semitones and smoothed by a voiced/unvoiced HMM (local triangular pitch
+    movement capped at ``max_transition_rate`` octaves/s, voicing switch
+    probability ``switch_prob``) decoded exactly by a banded Viterbi.
+    ``f0_hz`` is reported for every frame (the unvoiced track still carries
+    a pitch bin — mask with ``voiced_flag`` as needed), refined to the
+    winning candidate's parabolic lag when the decoded bin has one.
+
+    ``hop`` is the analysis hop in samples — it scales the per-frame pitch
+    transition width; pass the hop the frames were cut with.
+    """
+    if not 0.0 < resolution <= 12.0:
+        raise ValueError(f"resolution (semitones/bin) must be in (0, 12], got {resolution}")
+    if not 0.0 < switch_prob < 1.0:
+        raise ValueError(f"switch_prob must be in (0, 1), got {switch_prob}")
+    l = frames.shape[-1]
+    w = win or l // 2
+    tau_lo = max(int(np.floor(sample_rate / fmax)), 2)
+    tau_hi = min(int(np.ceil(sample_rate / fmin)), w - 1)
+    if tau_lo >= tau_hi:
+        raise ValueError(
+            f"empty lag range for fmin={fmin}, fmax={fmax} at sr={sample_rate} "
+            f"(win={w}); need sr/fmax < sr/fmin within [2, win-1]"
+        )
+    dn = cmnd_frames(frames, w, min(tau_hi + 1, w), impl, precision)  # [..., F, T+1]
+    dtype = dn.dtype
+    lags = jnp.arange(dn.shape[-1])
+    in_range = (lags >= tau_lo) & (lags <= tau_hi)
+    prev = jnp.concatenate([dn[..., :1], dn[..., :-1]], axis=-1)
+    nxt = jnp.concatenate([dn[..., 1:], dn[..., -1:]], axis=-1)
+    trough = (dn < prev) & (dn <= nxt) & in_range  # all local minima, no cap
+
+    # parabolic refinement at every lag (only trough lags are ever read)
+    denom = prev - 2.0 * dn + nxt
+    delta = jnp.where(
+        jnp.abs(denom) > 1e-12,
+        0.5 * (prev - nxt) / jnp.where(denom == 0, 1.0, denom),
+        0.0,
+    )
+    delta = jnp.clip(delta, -0.5, 0.5)
+    f0_lag = sample_rate / jnp.maximum(lags.astype(dtype) + delta, 1.0)
+
+    # --- per-threshold candidate weighting (lax.scan over the grid) ---
+    lam = float(boltzmann_parameter)
+    masses = jnp.asarray(
+        _beta_interval_masses(*beta_parameters, n_thresholds), dtype
+    )
+    thresholds = jnp.asarray(
+        np.linspace(0.0, 1.0, n_thresholds + 1)[1:].astype(np.float64), dtype
+    )
+    geo = dtype.type(1.0) - jnp.exp(jnp.asarray(-lam, dtype))
+
+    def thr_step(carry, tm):
+        prob, nt_mass = carry
+        thr, mass = tm
+        qualify = trough & (dn < thr)
+        cnt = jnp.cumsum(qualify.astype(dtype), axis=-1)
+        n_q = cnt[..., -1:]
+        rank = cnt - 1.0
+        weight = jnp.exp(-lam * rank) * geo
+        norm = jnp.where(
+            n_q > 0, 1.0 - jnp.exp(-lam * n_q), 1.0
+        )
+        prob = prob + jnp.where(qualify, weight / norm, 0.0) * mass
+        nt_mass = nt_mass + mass * (n_q[..., 0] <= 0)
+        return (prob, nt_mass), None
+
+    prob0 = jnp.zeros(dn.shape, dtype)
+    nt0 = jnp.zeros(dn.shape[:-1], dtype)
+    (prob, nt_mass), _ = jax.lax.scan(
+        thr_step, (prob0, nt0), (thresholds, masses)
+    )
+
+    # thresholds nothing cleared: no_trough_prob of their mass goes to the
+    # globally deepest trough (frames with no troughs at all keep prob 0)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    depth_masked = jnp.where(trough, dn, big)
+    gmin = jnp.argmin(depth_masked, axis=-1)
+    has_any = trough.any(axis=-1)
+    gmin_hot = (lags == gmin[..., None]) & has_any[..., None]
+    prob = prob + gmin_hot * (no_trough_prob * nt_mass)[..., None]
+
+    voiced_prob = jnp.clip(prob.sum(axis=-1), 0.0, 1.0)
+
+    # --- candidate probabilities -> pitch-bin observations ---
+    nbps = max(1, int(round(1.0 / resolution)))
+    n_bins = int(np.floor(12.0 * nbps * np.log2(fmax / fmin))) + 1
+    bins = jnp.clip(
+        jnp.round(12.0 * nbps * jnp.log2(f0_lag / fmin)).astype(jnp.int32),
+        0,
+        n_bins - 1,
+    )
+    lead = dn.shape[:-2]
+    f_count, l_count = dn.shape[-2], dn.shape[-1]
+    prob_flat = prob.reshape(-1, l_count)
+    bins_flat = bins.reshape(-1, l_count)
+    rows = jnp.arange(prob_flat.shape[0])[:, None]
+    obs_v = (
+        jnp.zeros((prob_flat.shape[0], n_bins), dtype)
+        .at[rows, bins_flat]
+        .add(prob_flat)
+        .reshape(*lead, f_count, n_bins)
+    )
+
+    log_floor = jnp.asarray(np.log(1e-30), dtype)
+    log_obs_v = jnp.log(jnp.maximum(obs_v, 1e-30))
+    log_obs_u = jnp.maximum(
+        jnp.log(jnp.maximum((1.0 - voiced_prob) / n_bins, 1e-30)), log_floor
+    )[..., None] * jnp.ones((n_bins,), dtype)
+
+    # --- banded two-track Viterbi ---
+    from .sequence import max_plus_band_argmax
+
+    half = max(1, int(round(max_transition_rate * 12.0 * nbps * hop / sample_rate)))
+    tri = 1.0 - np.abs(np.arange(-half, half + 1, dtype=np.float64)) / (half + 1.0)
+    log_kernel = jnp.asarray(np.log(tri / tri.sum()).astype(np.float32), dtype)
+    log_stay = jnp.asarray(np.log1p(-switch_prob), dtype)
+    log_switch = jnp.asarray(np.log(switch_prob), dtype)
+
+    ov = jnp.moveaxis(log_obs_v, -2, 0)  # [F, ..., N]
+    ou = jnp.moveaxis(log_obs_u, -2, 0)
+    log_init = jnp.asarray(-np.log(2 * n_bins), dtype)
+    dv0 = log_init + ov[0]
+    du0 = log_init + ou[0]
+
+    def vit_step(carry, obs_t):
+        dv, du = carry
+        lv, lu = obs_t
+        bv, av = max_plus_band_argmax(dv, log_kernel)
+        bu, au = max_plus_band_argmax(du, log_kernel)
+        sv, su = bv + log_stay, bu + log_switch
+        pick_v = su > sv  # source is the unvoiced track
+        new_v = lv + jnp.where(pick_v, su, sv)
+        off_v = jnp.where(pick_v, au, av)
+        sv2, su2 = bv + log_switch, bu + log_stay
+        pick_u = su2 > sv2
+        new_u = lu + jnp.where(pick_u, su2, sv2)
+        off_u = jnp.where(pick_u, au, av)
+        return (new_v, new_u), (off_v, pick_v, off_u, pick_u)
+
+    (dv, du), bps = jax.lax.scan(vit_step, (dv0, du0), (ov[1:], ou[1:]))
+    both = jnp.concatenate([dv, du], axis=-1)
+    last = jnp.argmax(both, axis=-1).astype(jnp.int32)
+
+    def back(state, bp):
+        off_v, pick_v, off_u, pick_u = bp
+        unvoiced = state >= n_bins
+        b = state - n_bins * unvoiced.astype(jnp.int32)
+        off_vb = jnp.take_along_axis(off_v, b[..., None], axis=-1)[..., 0]
+        pv_b = jnp.take_along_axis(pick_v, b[..., None], axis=-1)[..., 0]
+        off_ub = jnp.take_along_axis(off_u, b[..., None], axis=-1)[..., 0]
+        pu_b = jnp.take_along_axis(pick_u, b[..., None], axis=-1)[..., 0]
+        off = jnp.where(unvoiced, off_ub, off_vb).astype(jnp.int32)
+        src_u = jnp.where(unvoiced, pu_b, pv_b)
+        prev_bin = jnp.clip(b + off - half, 0, n_bins - 1)
+        prev = prev_bin + n_bins * src_u.astype(jnp.int32)
+        return prev, state
+
+    first, states_rev = jax.lax.scan(back, last, bps, reverse=True)
+    states = jnp.concatenate(
+        [first[..., None], jnp.moveaxis(states_rev, 0, -1)], axis=-1
+    )  # [..., F]
+
+    voiced_flag = states < n_bins
+    bin_dec = states - n_bins * (~voiced_flag).astype(jnp.int32)
+
+    # refine: the decoded bin's best candidate (if any) carries the f0
+    cand_mask = trough & (bins == bin_dec[..., None])
+    score = jnp.where(cand_mask, prob, -1.0)
+    li = jnp.argmax(score, axis=-1)
+    found = jnp.take_along_axis(score, li[..., None], axis=-1)[..., 0] > 0.0
+    f0_cand = jnp.take_along_axis(f0_lag * jnp.ones_like(dn), li[..., None], axis=-1)[..., 0]
+    centers = jnp.asarray(
+        (fmin * 2.0 ** (np.arange(n_bins, dtype=np.float64) / (12.0 * nbps))).astype(
+            np.float32
+        ),
+        dtype,
+    )
+    f0 = jnp.where(found, f0_cand, centers[bin_dec])
+    return f0, voiced_flag, voiced_prob
+
+
+def pyin(
+    x: jnp.ndarray,
+    sample_rate: float,
+    fmin: float = 65.0,
+    fmax: float = 2093.0,
+    frame_length: int = 2048,
+    hop: int = 256,
+    center: bool = True,
+    **kwargs,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """pYIN over a signal ``[..., T]`` -> ``(f0 [..., F], voiced_flag,
+    voiced_prob)``; see :func:`pyin_frames` for the knobs. ``center=True``
+    reflect-pads so frame i is centered on sample i*hop."""
+    if center:
+        pads = [(0, 0)] * (x.ndim - 1) + [(frame_length // 2, frame_length // 2)]
+        x = jnp.pad(x, pads, mode="reflect")
+    fr = frame(x, frame_length, hop)
+    return pyin_frames(fr, sample_rate, fmin, fmax, hop=hop, **kwargs)

@@ -24,6 +24,8 @@ TPU-first formulations:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 import jax
@@ -105,18 +107,82 @@ def peak_pick(
     return jnp.moveaxis(picked, 0, -1)
 
 
-def autocorrelate(x: jnp.ndarray, max_lag: int | None = None) -> jnp.ndarray:
-    """Linear (non-circular) autocorrelation along the last axis via rFFT
-    with zero padding, truncated to ``max_lag + 1`` lags."""
+def autocorrelate(
+    x: jnp.ndarray,
+    max_lag: int | None = None,
+    impl: str = "auto",
+    precision: str | None = None,
+) -> jnp.ndarray:
+    """Linear (non-circular) autocorrelation along the last axis, truncated
+    to ``max_lag + 1`` lags.
+
+    Three implementations, auto-selected by problem shape:
+
+    * ``"direct"`` — max_lag+1 shifted elementwise mul-sums, O(n * lags).
+      The right form when few lags are needed (LPC orders): no transform,
+      no bank, shards trivially. Auto when ``max_lag <= 64``.
+    * ``"matmul"`` — real cos|sin DFT banks on the MXU at the minimal
+      no-wraparound length (the ops/pitch.py ACF lesson — XLA's TPU FFT is
+      dispatch-dominant at tempogram sizes, and the matmul form also shards
+      without the GSPMD all-gather the FFT op forces). O(n^2) in the
+      transform length, so auto only on TPU for inputs up to 4096 samples.
+    * ``"fft"`` — the zero-padded rFFT power-spectrum route; the long-input
+      fallback everywhere.
+
+    ``precision`` follows ops/pitch.py::ACF_PRECISION_DEFAULT.
+    """
+    from .pitch import ACF_PRECISION_DEFAULT, _resolve_acf_impl
+    from ._mm import mm
+
     n = x.shape[-1]
     if max_lag is None:
         max_lag = n - 1
+    if impl == "auto":
+        if max_lag <= 64:
+            impl = "direct"
+        elif n <= 4096:
+            impl = "matmul" if jax.default_backend() == "tpu" else "fft"
+        else:
+            impl = "fft"
+    if impl == "direct":
+        out = [(x * x).sum(axis=-1, keepdims=True)]
+        for lag in range(1, max_lag + 1):
+            out.append((x[..., :-lag] * x[..., lag:]).sum(axis=-1, keepdims=True))
+        return jnp.concatenate(out, axis=-1)
+    if _resolve_acf_impl(impl) == "matmul":
+        fwd, inv = _auto_acf_banks(n, max_lag)
+        p = precision or ACF_PRECISION_DEFAULT
+        k_count = fwd.shape[1] // 2
+        spec = mm(x, jnp.asarray(fwd), p)  # [..., 2K] (Re | Im)
+        power = spec[..., :k_count] ** 2 + spec[..., k_count:] ** 2
+        return mm(power, jnp.asarray(inv), p)
     nfft = 1
     while nfft < n + max_lag + 1:
         nfft *= 2
     f = jnp.fft.rfft(x, n=nfft, axis=-1)
     ac = jnp.fft.irfft(jnp.real(f) ** 2 + jnp.imag(f) ** 2, n=nfft, axis=-1)
     return ac[..., : max_lag + 1]
+
+
+@lru_cache(maxsize=16)
+def _auto_acf_banks(n_in: int, max_lag: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host-built banks for the matmul autocorrelation: forward real DFT
+    [n_in, 2K] at the minimal even no-wrap length n >= n_in + max_lag, and
+    the truncated Hermitian-weighted irfft of the power spectrum [K, T+1]."""
+    m = n_in + max_lag
+    n = m + (m & 1)
+    k_count = n // 2 + 1
+    j = np.arange(n_in, dtype=np.float64)[:, None]
+    k = np.arange(k_count, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * j * k / n
+    fwd = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)  # sign-free: power
+    tau = np.arange(max_lag + 1, dtype=np.float64)[None, :]
+    wk = np.full((k_count, 1), 2.0)
+    wk[0, 0] = 1.0
+    wk[-1, 0] = 1.0
+    angi = 2.0 * np.pi * np.arange(k_count, dtype=np.float64)[:, None] * tau / n
+    inv = wk * np.cos(angi) / n
+    return fwd.astype(np.float32), inv.astype(np.float32)
 
 
 def tempogram(

@@ -216,6 +216,34 @@ def run_validation(seed: int = 0) -> dict:
         float(abs(mid[k440] - 1.0)) if int(np.argmax(mid)) == k440 else 1.0
     )
 
+    # matmul-ACF banks vs the FFT correlation (the shipped TPU default for
+    # YIN/tempo rides these banks at 'high'; identical math, so the row is
+    # the on-chip numerics gate for the bank construction + precision cap).
+    # Relative to acf(0) (the natural scale of a correlation).
+    xa = (0.4 * np.sin(2 * np.pi * 220.0 * np.arange(4096) / 16000.0)).astype(
+        np.float32
+    ) + 0.05 * rng.standard_normal(4096).astype(np.float32)
+    fr_a = jnp.asarray(np.stack([xa[:2048], xa[1024:3072]]))
+    from .ops.pitch import _acf_fft, _acf_matmul
+
+    acf_f = np.asarray(_acf_fft(fr_a[..., : 1024 + 256], 1024, 256))
+    acf_m = np.asarray(_acf_matmul(fr_a[..., : 1024 + 256], 1024, 256, None))
+    report["acf_matmul_rel"] = float(
+        np.abs(acf_m - acf_f).max() / max(np.abs(acf_f[..., 0]).max(), 1e-9)
+    )
+
+    # pYIN: 220 Hz tone -> decoded voiced with f0 within 0.5 Hz mid-signal
+    # (gates the candidate scan + scatter + banded Viterbi end to end on
+    # chip; forced to 1.0 if any mid frame decodes unvoiced)
+    f0p, vfp, _ = ops.pyin(
+        jnp.asarray(xy), 16000, fmin=80, fmax=1200, resolution=0.5,
+        n_thresholds=32,
+    )
+    f0p, vfp = np.asarray(f0p)[4:-4], np.asarray(vfp)[4:-4]
+    report["pyin_220_rel"] = (
+        float(np.abs(f0p - 220.0).max() / 220.0) if vfp.all() else 1.0
+    )
+
     # FIR direct path vs float64 serial convolution (gates the TPU conv
     # precision rule — an unpinned conv truncates to bf16, ~3e-3 here)
     hf = ops.fir_design(65, 2000.0, 16000.0)
@@ -236,6 +264,8 @@ def run_validation(seed: int = 0) -> dict:
             "loudness_997_anchor_lu",
             "yin_220_rel",
             "cqt_440_mag_err",
+            "acf_matmul_rel",
+            "pyin_220_rel",
         )
     ]
     report["max_abs_err"] = max(report[k] for k in float_keys)
@@ -248,5 +278,7 @@ def run_validation(seed: int = 0) -> dict:
         and report["loudness_997_anchor_lu"] < 1e-2
         and report["yin_220_rel"] < 5e-3
         and report["cqt_440_mag_err"] < 5e-2
+        and report["acf_matmul_rel"] < 1e-3
+        and report["pyin_220_rel"] < 5e-3
     )
     return report

@@ -260,6 +260,13 @@ def test_cli_pitch(tmp_path, capsys):
     assert abs(out["median_f0_hz"] - 220.0) < 3.0
     mid = [r for r in out["track"][4:-4]]
     assert all(r["f0_hz"] is not None and abs(r["f0_hz"] - 220.0) < 5 for r in mid)
+    # pyin method: HMM-decoded voicing on the same tone
+    assert cli_main(
+        ["pitch", "-i", str(p), "--method", "pyin", "--fmin", "80", "--fmax", "1200"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["voiced_fraction"] > 0.9
+    assert abs(out["median_f0_hz"] - 220.0) < 3.0
 
 
 def test_new_pipeline_constructors(rng, tmp_path, capsys):

@@ -149,10 +149,19 @@ def test_peak_pick_matches_serial_oracle(rng):
 
 def test_autocorrelate_matches_numpy(rng):
     x = rng.standard_normal(128).astype(np.float32)
-    got = np.asarray(ops.autocorrelate(jnp.asarray(x), max_lag=32))
+    got = np.asarray(ops.autocorrelate(jnp.asarray(x), max_lag=32))  # auto->direct
     full = np.correlate(x.astype(np.float64), x.astype(np.float64), "full")
     want = full[127 : 127 + 33]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+    # all three implementations are the same math
+    for impl in ("direct", "fft", "matmul"):
+        got_i = np.asarray(
+            ops.autocorrelate(jnp.asarray(x), max_lag=100, impl=impl,
+                              precision="highest")
+        )
+        np.testing.assert_allclose(
+            got_i, full[127 : 127 + 101], rtol=1e-4, atol=1e-3, err_msg=impl
+        )
 
 
 def test_tempogram_shape_and_norm(rng):
