@@ -547,6 +547,48 @@ def cmd_pitch(args) -> int:
     return 0
 
 
+def cmd_align(args) -> int:
+    """DTW-align two audio files over MFCC (or log-mel) features.
+
+    Prints the alignment cost and a time-to-time warp map (downsampled to
+    ~100 anchors) — the feature-domain application of ops/sequence.py::dtw."""
+    import jax.numpy as jnp
+
+    from . import ops
+    from .io import read_audio
+
+    def feats(path):
+        data, rate = read_audio(path)
+        if data.ndim == 2:
+            data = data.mean(axis=1)
+        x = jnp.asarray(data, jnp.float32)
+        fb = ops.mel_filterbank(args.n_fft // 2 + 1, 64, rate)
+        lm = ops.log_mel(ops.power(ops.spectrogram(x, args.n_fft, args.hop)), fb)
+        if args.feature == "mfcc":
+            return ops.mfcc(lm, 13), rate
+        return lm, rate
+
+    fa, rate_a = feats(args.a)
+    fb_, rate_b = feats(args.b)
+    acc, path = ops.dtw(fa, fb_, metric=args.metric)
+    cost = float(np.asarray(acc)[-1, -1])
+    hop_a, hop_b = args.hop / rate_a, args.hop / rate_b
+    stride = max(1, len(path) // 100)
+    anchors = [
+        {"t_a": round(float(i) * hop_a, 3), "t_b": round(float(j) * hop_b, 3)}
+        for i, j in path[::stride]
+    ]
+    print(json.dumps({
+        "frames_a": int(fa.shape[0]),
+        "frames_b": int(fb_.shape[0]),
+        "cost": round(cost, 3),
+        "cost_per_step": round(cost / len(path), 5),
+        "path_len": int(len(path)),
+        "anchors": anchors,
+    }))
+    return 0
+
+
 def cmd_loudness(args) -> int:
     """BS.1770-4 / EBU R128 loudness meter (and optional normalizer).
 
@@ -742,6 +784,15 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--voiced-threshold", type=float, default=0.3,
                     help="aperiodicity (CMND depth) below this counts as voiced")
     pt.set_defaults(fn=cmd_pitch)
+
+    al = sub.add_parser("align", help="DTW-align two audio files (MFCC/log-mel)")
+    al.add_argument("-a", required=True, help="first audio file")
+    al.add_argument("-b", required=True, help="second audio file")
+    al.add_argument("--feature", choices=("mfcc", "logmel"), default="mfcc")
+    al.add_argument("--metric", choices=("euclidean", "cosine"), default="cosine")
+    al.add_argument("--n-fft", type=int, default=1024)
+    al.add_argument("--hop", type=int, default=256)
+    al.set_defaults(fn=cmd_align)
 
     lo = sub.add_parser("loudness", help="BS.1770/R128 loudness meter (+ optional normalize)")
     lo.add_argument("inputs", nargs="+", help="audio files or globs")

@@ -96,7 +96,18 @@ from .loudness import (
     true_peak,
 )
 from .lpc import lpc, lpc_from_autocorr, lpc_residual_energy
-from .mel import apply_mel, dct_matrix, log_mel, log_mel_fused, mel_filterbank, mfcc
+from .mel import (
+    apply_mel,
+    dct_matrix,
+    log_mel,
+    log_mel_fused,
+    mel_filterbank,
+    mel_to_audio,
+    mel_to_stft,
+    mfcc,
+    mfcc_to_audio,
+    mfcc_to_log_mel,
+)
 from .phase_vocoder import phase_vocoder, pitch_shift, time_stretch
 from .pitch import ACF_PRECISION_DEFAULT, cmnd_frames, pyin, pyin_frames, yin, yin_frames, yin_voicing
 from .quantize import dequantize_i16, quantize_i16, quantize_i16_round

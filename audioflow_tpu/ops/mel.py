@@ -169,3 +169,100 @@ def mfcc(log_mels: jnp.ndarray, n_mfcc: int = 13) -> jnp.ndarray:
     """MFCC from log-mel features: one more matmul (DCT-II, ortho)."""
     d = dct_matrix(log_mels.shape[-1], n_mfcc)
     return mm(log_mels, jnp.asarray(d))
+
+
+# ---------------------------------------------------------------------------
+# Feature inversion: mel/MFCC back to spectrogram and audio.
+#
+# The reference app is analysis-only; inversion completes the feature story
+# (a mel/MFCC pipeline user can hear what their features preserve). TPU
+# formulation: the NNLS mel->spectrogram solve is Lee-Seung multiplicative
+# updates — a fixed-count fori_loop whose body is two MXU matmuls and one
+# elementwise ratio (no data-dependent control flow); audio then comes from
+# griffin_lim (itself matmul-DFT projections).
+# ---------------------------------------------------------------------------
+
+
+def mel_to_stft(
+    m: jnp.ndarray,
+    fb: np.ndarray,
+    n_iter: int = 32,
+    precision: str | None = "default",
+    eps: float = 1e-10,
+) -> jnp.ndarray:
+    """Nonnegative least-squares inverse of :func:`apply_mel`.
+
+    Recovers a power spectrogram ``s`` ``[..., F, n_freqs]`` with
+    ``s @ fb ~ m`` and ``s >= 0`` by ``n_iter`` multiplicative updates
+    ``s <- s * (m @ fb.T) / (s @ fb @ fb.T)`` from the adjoint init
+    ``s0 = m @ fb.T`` (scale self-corrects — the update is ratio-based).
+    ``precision`` defaults to bf16: like griffin_lim, each step renormalizes,
+    so rounding does not accumulate.
+    """
+    import jax
+
+    fb = np.asarray(fb, np.float64)
+    fbt = jnp.asarray(fb.T.astype(np.float32))
+    fbj = jnp.asarray(fb.astype(np.float32))
+    m = jnp.maximum(jnp.asarray(m), 0.0)
+    target = mm(m, fbt, precision)  # [..., F, n_freqs], constant across iters
+    s0 = target
+
+    def body(_, s):
+        denom = mm(mm(s, fbj, precision), fbt, precision)
+        return s * target / jnp.maximum(denom, eps)
+
+    return jax.lax.fori_loop(0, n_iter, body, s0)
+
+
+def mfcc_to_log_mel(coeffs: jnp.ndarray, n_mels: int = 128) -> jnp.ndarray:
+    """Inverse of :func:`mfcc` (orthonormal DCT-II columns: the adjoint is
+    the pseudo-inverse): ``[..., n_mfcc]`` -> ``[..., n_mels]``. Exact on the
+    retained coefficients; the discarded ones are irrecoverably smoothed."""
+    d = dct_matrix(n_mels, coeffs.shape[-1])
+    return mm(coeffs, jnp.asarray(d.T))
+
+
+def mel_to_audio(
+    m: jnp.ndarray,
+    fb: np.ndarray,
+    n_fft: int = 1024,
+    hop: int = 256,
+    window: str = "hann",
+    center: bool = True,
+    length: int | None = None,
+    nnls_iter: int = 32,
+    gl_iter: int = 32,
+    power: float = 2.0,
+) -> jnp.ndarray:
+    """Mel (power, ``power=2.0``, or magnitude, ``power=1.0``) spectrogram
+    ``[..., F, n_mels]`` -> waveform: NNLS inversion to the linear
+    spectrogram, then Griffin-Lim phase reconstruction."""
+    s = mel_to_stft(m, fb, n_iter=nnls_iter)
+    mag = jnp.sqrt(jnp.maximum(s, 0.0)) if power == 2.0 else jnp.maximum(s, 0.0)
+    from .griffinlim import griffin_lim
+
+    return griffin_lim(mag, n_fft, hop, window=window, n_iter=gl_iter,
+                       center=center, length=length)
+
+
+def mfcc_to_audio(
+    coeffs: jnp.ndarray,
+    fb: np.ndarray,
+    n_fft: int = 1024,
+    hop: int = 256,
+    log_base: str = "ln",
+    **kwargs,
+) -> jnp.ndarray:
+    """MFCC ``[..., F, n_mfcc]`` -> waveform via inverse DCT, exp (undoing
+    :func:`log_mel` at ``log_base``), and :func:`mel_to_audio`."""
+    lm = mfcc_to_log_mel(coeffs, n_mels=np.asarray(fb).shape[-1])
+    if log_base == "ln":
+        m = jnp.exp(lm)
+    elif log_base == "log10":
+        m = jnp.power(10.0, lm)
+    elif log_base == "db":
+        m = jnp.power(10.0, lm / 10.0)
+    else:
+        raise ValueError(f"unknown log_base {log_base!r}")
+    return mel_to_audio(m, fb, n_fft, hop, **kwargs)

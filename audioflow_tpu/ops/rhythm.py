@@ -13,8 +13,9 @@ TPU-first formulations:
 * peak picking is shifted-slice sliding max/mean (static windows, fused)
   plus one O(T) ``lax.scan`` for the sequential "wait" constraint, batched
   over lanes;
-* the tempogram is framed FFT autocorrelation (same rfft trick as the YIN
-  front end, ops/pitch.py);
+* the tempogram is framed autocorrelation — matmul cos|sin banks on the MXU
+  on TPU, rFFT elsewhere (``autocorrelate`` impl ladder; the ops/pitch.py
+  ACF lesson);
 * the beat tracker is the Ellis DP as a ``lax.scan`` over frames whose
   carry is a fixed window of cumulative scores (static window = the slowest
   trackable period), then a reverse scan for the backtrace — beats come out

@@ -248,7 +248,9 @@ def dtw(
         elif metric == "cosine":
             xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
             yn = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
-            cost = 1.0 - xn @ yn.T
+            # clamp: f32 rounding can push |cos| past 1, going (slightly)
+            # negative — a distance must not reward the aligner for length
+            cost = jnp.maximum(1.0 - xn @ yn.T, 0.0)
         else:
             raise ValueError(f"unknown metric {metric!r}")
     cost = jnp.asarray(cost)

@@ -125,3 +125,63 @@ def test_log_mel_frontend_fused_flag(rng):
     np.testing.assert_allclose(
         np.asarray(gf.chain(x)), np.asarray(gp.chain(x)), atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Inversion: mel/MFCC -> spectrogram -> audio
+# ---------------------------------------------------------------------------
+
+
+def test_mel_to_stft_nnls_roundtrip(rng):
+    from audioflow_tpu.ops import apply_mel, mel_filterbank, mel_to_stft
+
+    fb = mel_filterbank(513, 64, 16000)
+    s_true = (rng.random((20, 513)) ** 2).astype(np.float32)
+    m = apply_mel(jnp.asarray(s_true), fb)
+    s_rec = mel_to_stft(m, fb, n_iter=64)
+    assert (np.asarray(s_rec) >= 0).all()
+    # the mel projection of the reconstruction matches the target mel
+    m_rec = np.asarray(apply_mel(s_rec, fb))
+    rel = np.abs(m_rec - np.asarray(m)).max() / np.asarray(m).max()
+    assert rel < 2e-2, rel
+
+
+def test_mfcc_to_log_mel_full_basis_is_exact(rng):
+    from audioflow_tpu.ops import mfcc, mfcc_to_log_mel
+
+    lm = rng.standard_normal((7, 32)).astype(np.float32)
+    back = np.asarray(mfcc_to_log_mel(mfcc(jnp.asarray(lm), n_mfcc=32), n_mels=32))
+    np.testing.assert_allclose(back, lm, atol=1e-4)
+    # truncated basis: smooth approximation, finite
+    back13 = np.asarray(mfcc_to_log_mel(mfcc(jnp.asarray(lm), 13), n_mels=32))
+    assert np.isfinite(back13).all() and back13.shape == lm.shape
+
+
+def test_mel_to_audio_recovers_tone():
+    from audioflow_tpu.ops import apply_mel, mel_filterbank, mel_to_audio, power, stft
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    fb = mel_filterbank(513, 128, sr)
+    m = apply_mel(power(stft(jnp.asarray(x), 1024, 256)), fb)
+    y = np.asarray(mel_to_audio(m, fb, 1024, 256, nnls_iter=32, gl_iter=16, length=sr))
+    assert y.shape == (sr,) and np.isfinite(y).all()
+    sp = np.abs(np.fft.rfft(y[2000:14000] * np.hanning(12000)))
+    peak = np.fft.rfftfreq(12000, 1 / sr)[sp.argmax()]
+    assert abs(peak - 440.0) < 8.0, peak
+
+
+def test_mfcc_to_audio_runs_finite(rng):
+    from audioflow_tpu.ops import (apply_mel, log_mel, mel_filterbank, mfcc,
+                                   mfcc_to_audio, power, stft)
+
+    sr = 16000
+    x = (0.3 * rng.standard_normal(sr)).astype(np.float32)
+    fb = mel_filterbank(513, 64, sr)
+    lm = log_mel(power(stft(jnp.asarray(x), 1024, 256)), fb)
+    c = mfcc(lm, 13)
+    y = np.asarray(mfcc_to_audio(c, fb, 1024, 256, gl_iter=4, nnls_iter=8, length=sr))
+    assert y.shape == (sr,) and np.isfinite(y).all()
+    with pytest.raises(ValueError):
+        mfcc_to_audio(c, fb, log_base="log2")

@@ -350,3 +350,25 @@ def test_cli_music_graphs(tmp_path, capsys):
     beats = np.flatnonzero(np.load(tmp_path / "b.npy")[0, :, 0])
     assert len(beats) >= 5
     assert np.all(np.abs(np.diff(beats) - 31.25) <= 3.0)
+
+
+def test_cli_align(tmp_path, capsys):
+    sr = 16000
+    t = np.arange(sr) / sr
+    a = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    # b = a time-stretched by repetition of the mid section (coarse warp)
+    b = np.concatenate([a[: sr // 2], a[sr // 4 : 3 * sr // 4], a[sr // 2 :]])
+    pa, pb = tmp_path / "a.wav", tmp_path / "b.wav"
+    write_wav(pa, a, sr)
+    write_wav(pb, b.astype(np.float32), sr)
+    assert cli_main(["align", "-a", str(pa), "-b", str(pb)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["path_len"] >= max(out["frames_a"], out["frames_b"])
+    assert out["anchors"][0]["t_a"] == 0.0
+    # endpoints reached
+    last = out["anchors"][-1]
+    assert last["t_a"] > 0.8 and last["t_b"] > 1.2
+    # identical files: near-zero cosine cost per step
+    assert cli_main(["align", "-a", str(pa), "-b", str(pa), "--feature", "logmel"]) == 0
+    out2 = json.loads(capsys.readouterr().out)
+    assert out2["cost_per_step"] < 1e-3
