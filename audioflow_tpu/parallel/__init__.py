@@ -7,9 +7,12 @@ files, so the primary strategy is **data-parallel batch sharding**: a
 1-D ``Mesh(("data",))`` with inputs sharded on the leading (file) axis via
 ``NamedSharding``. The hot path then has zero cross-chip dependencies;
 XLA inserts collectives only where an op genuinely mixes lanes (e.g. the
-gradient psum of :mod:`audioflow_tpu.models.trainable`, or a sharded mel
-contraction on a 2-D ("data","model") mesh). TP/PP/SP/EP have no counterpart
-in this workload and are deliberately out of scope.
+gradient psum of :mod:`audioflow_tpu.models.trainable`). Tensor parallelism
+exists where the workload has a model dimension to split: the trainable
+MLP head runs Megatron-sharded on a 2-D ("data", "model") mesh
+(``make_train_step(..., model_axis=)``; one GSPMD all-reduce, sharded adam
+state). PP/SP/EP have no counterpart in a per-file DSP workload and are
+deliberately out of scope.
 
 Multi-host (DCN) scaling uses ``jax.distributed`` initialization; batch lanes
 then span the global device set with the same NamedSharding.

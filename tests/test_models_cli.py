@@ -372,3 +372,52 @@ def test_cli_align(tmp_path, capsys):
     assert cli_main(["align", "-a", str(pa), "-b", str(pa), "--feature", "logmel"]) == 0
     out2 = json.loads(capsys.readouterr().out)
     assert out2["cost_per_step"] < 1e-3
+
+
+def test_trainable_tp_matches_single(rng):
+    """DP x TP (Megatron-split MLP head on a 2-D mesh) computes the same
+    step as the unsharded program."""
+    from audioflow_tpu.models import TrainableFrontend, make_train_step
+    from audioflow_tpu.parallel import make_mesh, shard_batch
+
+    model = TrainableFrontend(n_fft=256, hop=128, n_mels=8, n_classes=3, hidden=16)
+    params = model.init_params()
+    x = rng.standard_normal((8, 2048)).astype(np.float32)
+    y = rng.integers(0, 3, 8).astype(np.int32)
+    mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+    step_tp, opt = make_train_step(model, mesh=mesh, model_axis="model")
+    step_1, _ = make_train_step(model)
+    p_tp, _, loss_tp = step_tp(params, opt.init(params), jnp.asarray(x), jnp.asarray(y))
+    p_1, _, loss_1 = step_1(params, opt.init(params), jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(loss_tp), float(loss_1), rtol=1e-5)
+    for k in ("w1", "w2", "b1", "b2"):
+        np.testing.assert_allclose(
+            np.asarray(p_tp[k]), np.asarray(p_1[k]), atol=2e-6, err_msg=k
+        )
+    # the sharded params actually live sharded over the model axis
+    assert p_tp["w1"].sharding.spec == (None, "model")
+    assert p_tp["w2"].sharding.spec == ("model", None)
+    # hidden=0 + model_axis is a config error
+    with pytest.raises(ValueError):
+        make_train_step(TrainableFrontend(), mesh=mesh, model_axis="model")
+
+
+def test_trainable_hidden_learns(rng):
+    import optax
+
+    from audioflow_tpu.models import TrainableFrontend, make_train_step
+
+    model = TrainableFrontend(n_fft=256, hop=128, n_mels=16, n_classes=2, hidden=8)
+    params = model.init_params()
+    step, optimizer = make_train_step(model, optimizer=optax.adam(3e-2))
+    opt_state = optimizer.init(params)
+    t = np.arange(4096) / 16000
+    lo = 0.4 * np.sin(2 * np.pi * 300 * t)
+    hi = 0.4 * np.sin(2 * np.pi * 3000 * t)
+    x = jnp.asarray(np.stack([lo, hi, lo, hi]).astype(np.float32))
+    y = jnp.asarray(np.array([0, 1, 0, 1], np.int32))
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5
