@@ -589,6 +589,38 @@ def cmd_align(args) -> int:
     return 0
 
 
+def cmd_segments(args) -> int:
+    """Structural section boundaries of an audio file.
+
+    MFCC self-similarity -> Foote novelty (SAT checkerboard) -> peak-picked
+    boundaries (ops/segment.py); prints boundary times + novelty stats."""
+    import jax.numpy as jnp
+
+    from . import ops
+    from .io import read_audio
+
+    data, rate = read_audio(args.input)
+    if data.ndim == 2:
+        data = data.mean(axis=1)
+    x = jnp.asarray(data, jnp.float32)
+    fb = ops.mel_filterbank(args.n_fft // 2 + 1, 64, rate)
+    lm = ops.log_mel(ops.power(ops.spectrogram(x, args.n_fft, args.hop)), fb)
+    feats = ops.mfcc(lm, 13)
+    mask, nov = ops.segment_boundaries(
+        feats, kernel_width=args.kernel, delta=args.delta
+    )
+    mask, nov = np.asarray(mask), np.asarray(nov)
+    hop_s = args.hop / rate
+    bounds = [round(float(i) * hop_s, 3) for i in np.where(mask)[0]]
+    print(json.dumps({
+        "frames": int(mask.shape[0]),
+        "duration_s": round(data.shape[-1] / rate, 3),
+        "boundaries_s": bounds,
+        "novelty_peak": round(float(nov.max()), 5),
+    }))
+    return 0
+
+
 def cmd_loudness(args) -> int:
     """BS.1770-4 / EBU R128 loudness meter (and optional normalizer).
 
@@ -793,6 +825,14 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--n-fft", type=int, default=1024)
     al.add_argument("--hop", type=int, default=256)
     al.set_defaults(fn=cmd_align)
+
+    sg = sub.add_parser("segments", help="structural section boundaries (Foote novelty)")
+    sg.add_argument("-i", "--input", required=True)
+    sg.add_argument("--n-fft", type=int, default=2048)
+    sg.add_argument("--hop", type=int, default=512)
+    sg.add_argument("--kernel", type=int, default=32, help="checkerboard width (frames)")
+    sg.add_argument("--delta", type=float, default=0.05, help="novelty peak threshold")
+    sg.set_defaults(fn=cmd_segments)
 
     lo = sub.add_parser("loudness", help="BS.1770/R128 loudness meter (+ optional normalize)")
     lo.add_argument("inputs", nargs="+", help="audio files or globs")

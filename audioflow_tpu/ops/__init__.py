@@ -23,6 +23,7 @@ from . import (
     resample,
     rhythm,
     ring,
+    segment,
     sequence,
     stft,
     vad,
@@ -122,6 +123,13 @@ from .rhythm import (
     tempogram,
 )
 from .ring import Ring, ring_available, ring_clear, ring_free, ring_init, ring_read, ring_write
+from .segment import (
+    cross_similarity,
+    novelty_curve,
+    recurrence_matrix,
+    segment_boundaries,
+    self_similarity,
+)
 from .sequence import dtw, max_plus_band, max_plus_band_argmax, transition_local, viterbi
 from .stft import istft, magnitude, power, spectrogram, stft
 from .vad import VAD_LEVELS, VadCarry, VadConfig, is_speaking, vad_init, vad_scan, vad_step

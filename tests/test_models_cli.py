@@ -421,3 +421,18 @@ def test_trainable_hidden_learns(rng):
         params, opt_state, loss = step(params, opt_state, x, y)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5
+
+
+def test_cli_segments(tmp_path, capsys):
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    # two spectrally distinct halves: 220 Hz tone, then bright harmonics
+    a = 0.5 * np.sin(2 * np.pi * 220.0 * t[:sr])
+    b = sum(0.2 * np.sin(2 * np.pi * f * t[:sr]) for f in (900.0, 1800.0, 2700.0))
+    p = tmp_path / "two.wav"
+    write_wav(p, np.concatenate([a, b]).astype(np.float32), sr)
+    assert cli_main(["segments", "-i", str(p), "--kernel", "16"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["duration_s"] == pytest.approx(2.0)
+    # one boundary near the 1.0 s change
+    assert any(abs(x - 1.0) < 0.2 for x in out["boundaries_s"]), out["boundaries_s"]
