@@ -1929,3 +1929,177 @@ class Mix(Node):
             new_pads.append(pend)
             outs.append(y)
         return (tuple(new_states), tuple(new_pads)), self._merge(outs)
+
+
+@register_node
+@dataclass(frozen=True)
+class Delay(Node):
+    """Feedback delay / echo (ops/effects.py::feedback_delay). The comb
+    recurrence runs as a lax.scan over D-sample blocks; streaming carries
+    the last D samples of input + wet line, so streamed == offline exactly
+    at any chunk size."""
+
+    delay_s: float = 0.25
+    feedback: float = 0.4
+    mix: float = 0.5
+    sample_rate: int | None = None
+
+    def _d(self):
+        if self.sample_rate is None:
+            raise AudioError("Delay.sample_rate unresolved; set input_rate on the graph")
+        d = int(round(self.delay_s * self.sample_rate))
+        if d < 1:
+            raise AudioError(
+                f"Delay: delay_s {self.delay_s} is under one sample at "
+                f"{self.sample_rate} Hz",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+        return d
+
+    def apply(self, x):
+        y, _ = ops.feedback_delay(x, self._d(), self.feedback, self.mix)
+        return y
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        d = self._d()
+        return (jnp.zeros((*lead_shape, d), dtype), jnp.zeros((*lead_shape, d), dtype))
+
+    def step(self, carry, chunk):
+        y, carry = ops.feedback_delay(chunk, self._d(), self.feedback, self.mix, carry)
+        return carry, y
+
+
+@register_node
+@dataclass(frozen=True)
+class Tremolo(Node):
+    """Amplitude LFO (ops/effects.py::tremolo). The gain depends on the
+    absolute sample position, so the node opts into ``wants_first_index``
+    and streaming chunks reproduce the offline LFO phase exactly."""
+
+    rate_hz: float = 5.0
+    depth: float = 0.5
+    phase: float = 0.0
+    sample_rate: int | None = None
+    wants_first_index = True
+
+    def _rate(self):
+        if self.sample_rate is None:
+            raise AudioError("Tremolo.sample_rate unresolved; set input_rate on the graph")
+        return self.sample_rate
+
+    def apply(self, x):
+        return ops.tremolo(x, self._rate(), self.rate_hz, self.depth, self.phase)
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return None
+
+    def step(self, carry, chunk, first_index=None):
+        t0 = 0 if first_index is None else -first_index
+        return carry, ops.tremolo(
+            chunk, self._rate(), self.rate_hz, self.depth, self.phase, t0
+        )
+
+
+@dataclass(frozen=True)
+class _ModTapNode(Node):
+    """Shared machinery for LFO-modulated-delay effects: carry = the last
+    Dmax input samples (offline zeros prehistory), absolute position via
+    ``first_index``.
+
+    Streaming note: the decode math is identical streamed and offline, but
+    interpolation weights are recomputed from a chunk-local index origin, so
+    streamed output agrees with offline to f32 rounding (~1e-3 atol on
+    unit-scale audio) rather than bit-for-bit — the one documented
+    exception to the bitwise streamed==offline rule (tests pin it)."""
+
+    sample_rate: int | None = None
+    wants_first_index = True
+
+    def _rate(self):
+        if self.sample_rate is None:
+            raise AudioError(
+                f"{type(self).__name__}.sample_rate unresolved; set input_rate on the graph"
+            )
+        return self.sample_rate
+
+    def _dmax(self):
+        import numpy as _np
+
+        return int(_np.ceil((self._base() + self._depth()) * self._rate())) + 1
+
+    def _base(self):
+        return 0.0
+
+    def _depth(self):
+        return self.depth_s  # type: ignore[attr-defined]
+
+    def _apply_tap(self, x, t0, history):
+        raise NotImplementedError
+
+    def apply(self, x):
+        return self._apply_tap(x, 0, None)
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return jnp.zeros((*lead_shape, self._dmax()), dtype)
+
+    def step(self, carry, chunk, first_index=None):
+        t0 = 0 if first_index is None else -first_index
+        y = self._apply_tap(chunk, t0, carry)
+        new = jnp.concatenate([carry, chunk], axis=-1)[..., -self._dmax():]
+        return new, y
+
+
+@register_node
+@dataclass(frozen=True)
+class Vibrato(_ModTapNode):
+    """Pitch LFO (ops/effects.py::vibrato)."""
+
+    rate_hz: float = 5.0
+    depth_s: float = 0.002
+    phase: float = 0.0
+
+    def _apply_tap(self, x, t0, history):
+        return ops.vibrato(
+            x, self._rate(), self.rate_hz, self.depth_s, self.phase, t0, history
+        )
+
+
+@register_node
+@dataclass(frozen=True)
+class Chorus(_ModTapNode):
+    """Multi-voice ensemble (ops/effects.py::chorus)."""
+
+    rate_hz: float = 0.8
+    depth_s: float = 0.003
+    base_delay_s: float = 0.02
+    voices: int = 3
+    mix: float = 0.5
+
+    def _base(self):
+        return self.base_delay_s
+
+    def _apply_tap(self, x, t0, history):
+        return ops.chorus(
+            x, self._rate(), self.rate_hz, self.depth_s, self.base_delay_s,
+            self.voices, self.mix, t0, history,
+        )
+
+
+@register_node
+@dataclass(frozen=True)
+class Flanger(_ModTapNode):
+    """Swept comb (ops/effects.py::flanger)."""
+
+    rate_hz: float = 0.25
+    depth_s: float = 0.002
+    base_delay_s: float = 0.001
+    mix: float = 0.5
+
+    def _base(self):
+        return self.base_delay_s
+
+    def _apply_tap(self, x, t0, history):
+        return ops.flanger(
+            x, self._rate(), self.rate_hz, self.depth_s, self.base_delay_s,
+            self.mix, t0, history,
+        )

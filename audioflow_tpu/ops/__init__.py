@@ -10,6 +10,7 @@ from . import (
     cqt as cqt_mod,
     decompose,
     dynamics,
+    effects,
     features,
     fir,
     framing,
@@ -60,6 +61,7 @@ from .dynamics import (
     rms_normalize,
     to_mono,
 )
+from .effects import chorus, feedback_delay, flanger, tremolo, vibrato
 from .decompose import hpss, hpss_mask, median_filter, noise_profile, spectral_gate
 from .features import (
     add_deltas,

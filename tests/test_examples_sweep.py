@@ -28,7 +28,8 @@ from audioflow_tpu.io import write_wav
 def test_example_specs_load_and_run(rng):
     for spec_file in ("examples/logmel_spec.json", "examples/eq_master_spec.json",
                       "examples/mfcc_spec.json", "examples/asr_frontend_spec.json",
-                      "examples/kws_pcen_spec.json", "examples/denoise_master_spec.json"):
+                      "examples/kws_pcen_spec.json", "examples/denoise_master_spec.json",
+                      "examples/echo_ensemble_spec.json"):
         with open(spec_file) as f:
             g = graph_from_spec(json.load(f))
         x = jnp.asarray(rng.standard_normal(g.input_rate).astype(np.float32) * 0.3)
