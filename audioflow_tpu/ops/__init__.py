@@ -6,6 +6,7 @@ to be composed by :mod:`audioflow_tpu.graph` into one jitted XLA program.
 """
 
 from . import (
+    augment,
     biquad,
     cqt as cqt_mod,
     decompose,
@@ -45,9 +46,11 @@ from .biquad import (
     notch,
     peaking,
 )
+from .augment import freq_mask, spec_augment, time_mask
 from .dynamics import (
     agc,
     cmvn,
+    deemphasis,
     compressor,
     compressor_gain,
     energy_to_dbfs,
@@ -59,7 +62,9 @@ from .dynamics import (
     noise_gate,
     peak_normalize,
     rms_normalize,
+    split_silence,
     to_mono,
+    trim_silence,
 )
 from .effects import chorus, feedback_delay, flanger, tremolo, vibrato
 from .decompose import hpss, hpss_mask, median_filter, noise_profile, spectral_gate

@@ -219,3 +219,80 @@ def cmvn(feats: jnp.ndarray, norm_var: bool = False, eps: float = 1e-8) -> jnp.n
         var = feats.var(axis=-2, keepdims=True)
         out = out / jnp.sqrt(var + eps)
     return out
+
+
+def deemphasis(x: jnp.ndarray, coeff: float = 0.97) -> jnp.ndarray:
+    """One-pole inverse of :func:`preemphasis`: y[n] = x[n] + coeff*y[n-1].
+
+    Runs through the blocked state-space IIR engine (ops/biquad.py) — no
+    per-sample loop. Round-trip note: preemphasis' Kaldi edge convention
+    (y[0] = (1-k)x[0]) is not exactly invertible at the first sample; the
+    deviation decays as coeff^n (tests pin it).
+    """
+    from .biquad import Biquad, biquad_chain
+
+    y, _ = biquad_chain(x, (Biquad(1.0, 0.0, 0.0, -float(coeff), 0.0),))
+    return y
+
+
+def trim_silence(
+    x: jnp.ndarray,
+    top_db: float = 60.0,
+    frame_length: int = 2048,
+    hop: int = 512,
+) -> tuple[jnp.ndarray, tuple[int, int]]:
+    """Trim leading/trailing silence from a 1-D signal.
+
+    A frame is silent when its RMS is more than ``top_db`` below the
+    signal's peak RMS. Returns ``(x[start:end], (start, end))`` in samples.
+    The output length is data-dependent, so the boundary decision runs on
+    host over one device-computed [frames] energy vector (utility
+    semantics, not a jittable graph node — the documented convention).
+    """
+    mask = np.asarray(_nonsilent_mask(x, top_db, frame_length, hop))
+    t = x.shape[-1]
+    if not mask.any():
+        return x[..., :0], (0, 0)
+    idx = np.where(mask)[0]
+    start = int(idx[0]) * hop
+    end = min(int(idx[-1]) * hop + frame_length, t)
+    return x[..., start:end], (start, end)
+
+
+def split_silence(
+    x: jnp.ndarray,
+    top_db: float = 60.0,
+    frame_length: int = 2048,
+    hop: int = 512,
+) -> list[tuple[int, int]]:
+    """Sample intervals of non-silent runs (same criterion as
+    :func:`trim_silence`); host-side boundary extraction."""
+    mask = np.asarray(_nonsilent_mask(x, top_db, frame_length, hop))
+    t = x.shape[-1]
+    out: list[tuple[int, int]] = []
+    start = None
+    for i, m in enumerate(mask):
+        if m and start is None:
+            start = i
+        elif not m and start is not None:
+            out.append((start * hop, min(i * hop + frame_length, t)))
+            start = None
+    if start is not None:
+        out.append((start * hop, t))
+    return out
+
+
+def _nonsilent_mask(
+    x: jnp.ndarray, top_db: float, frame_length: int, hop: int
+) -> jnp.ndarray:
+    """Per-frame bool: within top_db of the peak frame RMS (device-side)."""
+    from .framing import frame as _frame
+
+    if x.ndim != 1:
+        raise ValueError(f"trim/split operate on 1-D signals, got {x.shape}")
+    if x.shape[-1] < frame_length:
+        pad = frame_length - x.shape[-1]
+        x = jnp.pad(x, (0, pad))
+    fr = _frame(x, frame_length, hop)
+    rms_db = 10.0 * jnp.log10(jnp.maximum((fr * fr).mean(axis=-1), 1e-20))
+    return rms_db > rms_db.max() - top_db
