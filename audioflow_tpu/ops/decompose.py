@@ -205,3 +205,71 @@ def spectral_gate(
     keep = _smooth(_smooth(keep, time_smooth, axis=-2), freq_smooth, axis=-1)
     gain = 1.0 - prop_decrease * (1.0 - keep)
     return istft(spec * gain, n_fft, hop, window=window, length=t, impl=impl)
+
+
+def nmf(
+    s: jnp.ndarray,
+    n_components: int,
+    n_iter: int = 200,
+    loss: str = "frobenius",
+    seed: int = 0,
+    eps: float = 1e-10,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Nonnegative matrix factorization of a magnitude/power spectrogram.
+
+    ``s [..., T, F] ~ h @ w`` with activations ``h [..., T, K]`` and
+    spectral templates ``w [..., K, F]``, both nonnegative — the standard
+    audio source-separation decomposition (each template a note/source
+    spectrum, each activation its gain envelope).
+
+    TPU formulation: Lee-Seung multiplicative updates (``"frobenius"`` or
+    ``"kl"``) as a ``lax.fori_loop`` whose body is four MXU matmuls and two
+    elementwise ratios — no data-dependent control flow, batched over
+    leading axes, same machinery as the mel NNLS inverse (ops/mel.py).
+    Initialization is deterministic uniform-random from ``seed`` (jax PRNG),
+    scaled so the first reconstruction matches ``s`` in total energy.
+    """
+    import jax
+
+    if n_components < 1:
+        raise ValueError(f"n_components must be >= 1, got {n_components}")
+    if loss not in ("frobenius", "kl"):
+        raise ValueError(f"unknown loss {loss!r}; known: frobenius, kl")
+    s = jnp.maximum(jnp.asarray(s), 0.0)
+    t, f = s.shape[-2], s.shape[-1]
+    lead = s.shape[:-2]
+    kh, kw = jax.random.split(jax.random.PRNGKey(seed))
+    h = jax.random.uniform(kh, (*lead, t, n_components), s.dtype, 0.1, 1.0)
+    w = jax.random.uniform(kw, (*lead, n_components, f), s.dtype, 0.1, 1.0)
+    # energy-matched init keeps the first ratios O(1)
+    scale = s.sum(axis=(-2, -1), keepdims=True) / jnp.maximum(
+        (h @ w).sum(axis=(-2, -1), keepdims=True), eps
+    )
+    h = h * jnp.sqrt(scale)
+    w = w * jnp.sqrt(scale)
+    wt = lambda m: jnp.swapaxes(m, -2, -1)
+
+    if loss == "frobenius":
+
+        def body(_, hw):
+            h, w = hw
+            h = h * (s @ wt(w)) / jnp.maximum(h @ w @ wt(w), eps)
+            w = w * (wt(h) @ s) / jnp.maximum(wt(h) @ h @ w, eps)
+            return h, w
+
+    else:  # KL divergence
+
+        def body(_, hw):
+            h, w = hw
+            r = jnp.maximum(h @ w, eps)
+            h = h * ((s / r) @ wt(w)) / jnp.maximum(
+                jnp.ones_like(s) @ wt(w), eps
+            )
+            r = jnp.maximum(h @ w, eps)
+            w = w * (wt(h) @ (s / r)) / jnp.maximum(
+                wt(h) @ jnp.ones_like(s), eps
+            )
+            return h, w
+
+    h, w = jax.lax.fori_loop(0, n_iter, body, (h, w))
+    return h, w

@@ -284,3 +284,57 @@ def test_deltas_node_streams_exactly(rng):
     assert not g2.streamable
     with pytest.raises(AudioError):
         g2.init_state(1024)
+
+
+# ---------------------------------------------------------------------------
+# NMF
+# ---------------------------------------------------------------------------
+
+
+def test_nmf_reconstruction_improves_and_nonneg(rng):
+    # planted rank-4 nonnegative target: the fit should approach the (tiny)
+    # noise floor, far below the 1-iteration error
+    ht = rng.random((30, 4)).astype(np.float32)
+    wt = rng.random((4, 40)).astype(np.float32)
+    s = (ht @ wt + 0.01 * rng.random((30, 40))).astype(np.float32)
+    h1, w1 = ops.nmf(jnp.asarray(s), 4, n_iter=1)
+    h, w = ops.nmf(jnp.asarray(s), 4, n_iter=300)
+    e1 = float(np.linalg.norm(np.asarray(h1 @ w1) - s))
+    e = float(np.linalg.norm(np.asarray(h @ w) - s))
+    assert e < 0.2 * e1, (e1, e)
+    assert (np.asarray(h) >= 0).all() and (np.asarray(w) >= 0).all()
+
+
+def test_nmf_recovers_planted_two_sources(rng):
+    # two disjoint spectral templates with independent on/off activations
+    f, t = 32, 60
+    w_true = np.zeros((2, f))
+    w_true[0, 4:8] = [1, 2, 2, 1]
+    w_true[1, 20:24] = [2, 1, 1, 2]
+    h_true = np.zeros((t, 2))
+    h_true[10:25, 0] = 1.0
+    h_true[35:55, 1] = 1.0
+    s = (h_true @ w_true).astype(np.float32) + 1e-4
+    h, w = ops.nmf(jnp.asarray(s), 2, n_iter=400)
+    h, w = np.asarray(h), np.asarray(w)
+    # match components by template correlation, then check activations
+    order = [int(np.argmax([np.dot(w[k], w_true[j]) for j in range(2)]))
+             for k in range(2)]
+    assert sorted(order) == [0, 1], "components did not separate"
+    for k, j in enumerate(order):
+        act = h[:, k] / max(h[:, k].max(), 1e-9)
+        on = act > 0.5
+        want_on = h_true[:, j] > 0.5
+        assert (on == want_on).mean() > 0.9
+
+
+def test_nmf_kl_and_batched(rng):
+    s = (rng.random((2, 20, 16)) ** 2).astype(np.float32)
+    h, w = ops.nmf(jnp.asarray(s), 3, n_iter=50, loss="kl")
+    assert h.shape == (2, 20, 3) and w.shape == (2, 3, 16)
+    rec = np.asarray(h @ w)
+    assert np.isfinite(rec).all() and (rec >= 0).all()
+    with pytest.raises(ValueError):
+        ops.nmf(jnp.zeros((4, 4)), 0)
+    with pytest.raises(ValueError):
+        ops.nmf(jnp.zeros((4, 4)), 2, loss="itakura")
