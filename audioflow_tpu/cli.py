@@ -589,6 +589,41 @@ def cmd_align(args) -> int:
     return 0
 
 
+def cmd_separate(args) -> int:
+    """Blind NMF source separation: writes one wav per component.
+
+    STFT -> NMF magnitude factorization -> Wiener soft masks -> ISTFT
+    (ops/decompose.py::nmf_separate); components sum back to the input."""
+    import jax.numpy as jnp
+
+    from . import ops
+    from .io import read_audio, write_wav
+
+    data, rate = read_audio(args.input)
+    if data.ndim == 2:
+        data = data.mean(axis=1)
+    comps, h, w = ops.nmf_separate(
+        jnp.asarray(data, jnp.float32), args.components, args.n_fft,
+        args.hop, n_iter=args.iterations,
+    )
+    comps = np.asarray(comps)
+    base, _ = os.path.splitext(args.output or args.input)
+    outs = []
+    for k in range(comps.shape[0]):
+        path = f"{base}.comp{k}.wav"
+        write_wav(path, comps[k].astype(np.float32), rate)
+        outs.append(path)
+    peak_bins = [int(np.argmax(np.asarray(w)[k])) for k in range(comps.shape[0])]
+    print(json.dumps({
+        "components": outs,
+        "template_peak_hz": [round(b * rate / args.n_fft, 1) for b in peak_bins],
+        "residual_rel": round(float(
+            np.linalg.norm(comps.sum(0) - data[: comps.shape[1]])
+            / max(np.linalg.norm(data), 1e-9)), 6),
+    }))
+    return 0
+
+
 def cmd_segments(args) -> int:
     """Structural section boundaries of an audio file.
 
@@ -833,6 +868,15 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--kernel", type=int, default=32, help="checkerboard width (frames)")
     sg.add_argument("--delta", type=float, default=0.05, help="novelty peak threshold")
     sg.set_defaults(fn=cmd_segments)
+
+    sp = sub.add_parser("separate", help="blind NMF source separation -> per-component wavs")
+    sp.add_argument("-i", "--input", required=True)
+    sp.add_argument("-o", "--output", default=None, help="output basename (default: input)")
+    sp.add_argument("-k", "--components", type=int, default=2)
+    sp.add_argument("--n-fft", type=int, default=1024)
+    sp.add_argument("--hop", type=int, default=256)
+    sp.add_argument("--iterations", type=int, default=200)
+    sp.set_defaults(fn=cmd_separate)
 
     lo = sub.add_parser("loudness", help="BS.1770/R128 loudness meter (+ optional normalize)")
     lo.add_argument("inputs", nargs="+", help="audio files or globs")

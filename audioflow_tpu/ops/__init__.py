@@ -67,7 +67,7 @@ from .dynamics import (
     trim_silence,
 )
 from .effects import chorus, feedback_delay, flanger, tremolo, vibrato
-from .decompose import hpss, hpss_mask, median_filter, nmf, noise_profile, spectral_gate
+from .decompose import hpss, hpss_mask, median_filter, nmf, nmf_separate, noise_profile, spectral_gate
 from .features import (
     add_deltas,
     chroma,

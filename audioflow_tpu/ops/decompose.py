@@ -273,3 +273,37 @@ def nmf(
 
     h, w = jax.lax.fori_loop(0, n_iter, body, (h, w))
     return h, w
+
+
+def nmf_separate(
+    x: jnp.ndarray,
+    n_components: int = 2,
+    n_fft: int = 1024,
+    hop: int = 256,
+    n_iter: int = 200,
+    loss: str = "frobenius",
+    seed: int = 0,
+    power: float = 1.0,
+    eps: float = 1e-10,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Blind source separation of ``x [T]`` into ``n_components`` waveforms.
+
+    STFT -> NMF of the magnitude (``power=1``; 2 factorizes the power
+    spectrogram) -> per-component Wiener-style soft masks
+    ``V_k / sum_j V_j`` applied to the complex spectrogram -> ISTFT. The
+    masks sum to 1, so the components sum to the (ISTFT-consistent) input.
+    Returns ``(components [K, T'], activations [F, K], templates [K, bins])``.
+    """
+    x = jnp.asarray(x)
+    if x.ndim != 1:
+        raise ValueError(f"nmf_separate takes a 1-D signal, got {x.shape}")
+    spec = stft(x, n_fft, hop)
+    mag = jnp.abs(spec) ** power
+    h, w = nmf(mag, n_components, n_iter=n_iter, loss=loss, seed=seed, eps=eps)
+    # per-component magnitude models [K, frames, bins] via outer products
+    v = jnp.maximum(jnp.swapaxes(h, 0, 1)[:, :, None] * w[:, None, :], 0.0)
+    total = jnp.maximum(v.sum(axis=0, keepdims=True), eps)
+    masks = v / total  # sum to 1 across components
+    comp_spec = masks * spec[None]
+    comps = istft(comp_spec, n_fft, hop, length=x.shape[-1])
+    return comps, h, w

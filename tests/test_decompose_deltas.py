@@ -338,3 +338,27 @@ def test_nmf_kl_and_batched(rng):
         ops.nmf(jnp.zeros((4, 4)), 0)
     with pytest.raises(ValueError):
         ops.nmf(jnp.zeros((4, 4)), 2, loss="itakura")
+
+
+def test_nmf_separate_two_tones(rng):
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    a = np.where((t % 1.0) < 0.5, 0.5 * np.sin(2 * np.pi * 250 * t), 0.0)
+    b = np.where((t % 1.0) >= 0.5, 0.4 * np.sin(2 * np.pi * 1750 * t), 0.0)
+    x = (a + b).astype(np.float32)
+    comps, h, w = ops.nmf_separate(jnp.asarray(x), 2, 512, 128, n_iter=150)
+    comps = np.asarray(comps)
+    assert comps.shape[0] == 2
+    # components sum back to (the ISTFT-consistent) input
+    rec = comps.sum(0)
+    n = min(len(rec), len(x))
+    assert np.linalg.norm(rec[256:n-256] - x[256:n-256]) / np.linalg.norm(x) < 0.05
+    # each component correlates with one source, not the other
+    def c(u, v):
+        n2 = min(len(u), len(v))
+        return abs(np.dot(u[:n2], v[:n2])) / (np.linalg.norm(u[:n2]) * np.linalg.norm(v[:n2]) + 1e-9)
+    pair = [(c(comps[k], a), c(comps[k], b)) for k in range(2)]
+    k_a = int(np.argmax([p[0] for p in pair]))
+    assert pair[k_a][0] > 0.9 and pair[1 - k_a][1] > 0.9, pair
+    with pytest.raises(ValueError):
+        ops.nmf_separate(jnp.zeros((2, 100)))

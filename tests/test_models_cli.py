@@ -436,3 +436,20 @@ def test_cli_segments(tmp_path, capsys):
     assert out["duration_s"] == pytest.approx(2.0)
     # one boundary near the 1.0 s change
     assert any(abs(x - 1.0) < 0.2 for x in out["boundaries_s"]), out["boundaries_s"]
+
+
+def test_cli_separate(tmp_path, capsys):
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    x = np.where((t % 1.0) < 0.5, 0.5 * np.sin(2 * np.pi * 250 * t),
+                 0.4 * np.sin(2 * np.pi * 1750 * t)).astype(np.float32)
+    p = tmp_path / "mix.wav"
+    write_wav(p, x, sr)
+    assert cli_main(["separate", "-i", str(p), "--iterations", "120"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["components"]) == 2
+    peaks = sorted(out["template_peak_hz"])
+    assert abs(peaks[0] - 250) < 40 and abs(peaks[1] - 1750) < 40, peaks
+    assert out["residual_rel"] < 0.2
+    import os as _os
+    assert all(_os.path.exists(c) for c in out["components"])
