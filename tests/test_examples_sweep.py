@@ -57,6 +57,13 @@ def test_example_scripts_run(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr[-500:]
     assert (tmp_path / "w.jsonl").read_text().count("input_audio_chunk") > 0
+    r3 = subprocess.run(
+        [sys.executable, "examples/train_kws.py", "40", str(tmp_path / "kws.json")],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=300,
+    )
+    assert r3.returncode == 0, r3.stderr[-500:]
+    rep = json.loads((tmp_path / "kws.json").read_text())
+    assert rep["train_accuracy"] > 0.9 and rep["loss_last"] < rep["loss_first"]
 
 
 @pytest.mark.parametrize("seed", range(6))
