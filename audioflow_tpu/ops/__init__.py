@@ -85,6 +85,7 @@ from .features import (
     spectral_flatness,
     spectral_flux,
     spectral_rolloff,
+    stack_memory,
     tonnetz,
     tonnetz_basis,
     zero_crossing_rate,
@@ -117,7 +118,16 @@ from .mel import (
     mfcc_to_log_mel,
 )
 from .phase_vocoder import phase_vocoder, pitch_shift, time_stretch
-from .pitch import ACF_PRECISION_DEFAULT, cmnd_frames, pyin, pyin_frames, yin, yin_frames, yin_voicing
+from .pitch import (
+    ACF_PRECISION_DEFAULT,
+    cmnd_frames,
+    piptrack,
+    pyin,
+    pyin_frames,
+    yin,
+    yin_frames,
+    yin_voicing,
+)
 from .quantize import dequantize_i16, quantize_i16, quantize_i16_round
 from .resample import ResamplePlan, make_plan, resample, resample_apply
 from .rhythm import (

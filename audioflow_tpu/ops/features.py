@@ -379,3 +379,26 @@ def spectral_features(
         else:
             raise ValueError(f"unknown spectral feature {name!r}; known: {_FEATURES}")
     return jnp.stack(cols, axis=-1)
+
+
+def stack_memory(feats: jnp.ndarray, n_steps: int = 2, delay: int = 1) -> jnp.ndarray:
+    """Time-lagged feature stacking ``[..., T, F] -> [..., T, F * n_steps]``:
+    the feature vector concatenated with its ``delay``-frame history
+    (zero-padded at the edge) — short-term memory for frame classifiers.
+    ``delay`` may be negative for lookahead stacking."""
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    if delay == 0:
+        raise ValueError("delay must be nonzero")
+    feats = jnp.asarray(feats)
+    outs = [feats]
+    for k in range(1, n_steps):
+        d = k * delay
+        pads = [(0, 0)] * (feats.ndim - 2)
+        if d > 0:
+            shifted = jnp.pad(feats[..., : feats.shape[-2] - d, :],
+                              pads + [(d, 0), (0, 0)])
+        else:
+            shifted = jnp.pad(feats[..., -d:, :], pads + [(0, -d), (0, 0)])
+        outs.append(shifted)
+    return jnp.concatenate(outs, axis=-1)

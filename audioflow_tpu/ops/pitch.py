@@ -506,3 +506,43 @@ def pyin(
         x = jnp.pad(x, pads, mode="reflect")
     fr = frame(x, frame_length, hop)
     return pyin_frames(fr, sample_rate, fmin, fmax, hop=hop, **kwargs)
+
+
+def piptrack(
+    spec_mag: jnp.ndarray,
+    sample_rate: float,
+    n_fft: int,
+    fmin: float = 150.0,
+    fmax: float = 4000.0,
+    threshold: float = 0.1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Spectral-peak pitch candidates (the parabolic-interpolation
+    'piptrack' convention) from a magnitude spectrogram ``[..., T, bins]``.
+
+    A bin is a candidate iff it is a local max across frequency, within
+    [fmin, fmax], and above ``threshold * frame_max``. Returns
+    ``(pitches, mags)`` the same shape as the input — zero except at
+    candidate bins, where ``pitches`` holds the parabolic-refined frequency
+    in Hz and ``mags`` the interpolated magnitude. Complements the lag-
+    domain trackers (yin/pyin): cheap, polyphonic, but octave-blind — one
+    fused elementwise pass, batched and shard-clean.
+    """
+    s = jnp.asarray(spec_mag)
+    bins = s.shape[-1]
+    freqs = np.arange(bins) * sample_rate / n_fft
+    prev = jnp.concatenate([s[..., :1], s[..., :-1]], axis=-1)
+    nxt = jnp.concatenate([s[..., 1:], s[..., -1:]], axis=-1)
+    denom = prev - 2.0 * s + nxt
+    shift = jnp.where(
+        jnp.abs(denom) > 1e-12,
+        0.5 * (prev - nxt) / jnp.where(denom == 0, 1.0, denom),
+        0.0,
+    )
+    shift = jnp.clip(shift, -0.5, 0.5)
+    in_band = jnp.asarray((freqs >= fmin) & (freqs <= fmax))
+    frame_max = s.max(axis=-1, keepdims=True)
+    peak = (s > prev) & (s >= nxt) & in_band & (s >= threshold * frame_max)
+    bin_idx = jnp.arange(bins, dtype=s.dtype)
+    pitches = jnp.where(peak, (bin_idx + shift) * (sample_rate / n_fft), 0.0)
+    mags = jnp.where(peak, s - 0.25 * (prev - nxt) * shift, 0.0)
+    return pitches, mags

@@ -125,3 +125,22 @@ def test_chroma_pitch_classes_and_node(rng):
     lat = g.stream_latency(chunk)
     n = min(st.shape[0] - lat, off.shape[0])
     np.testing.assert_allclose(st[lat : lat + n], off[:n], atol=1e-5)
+
+
+def test_stack_memory_lags_and_errors(rng):
+    f = rng.standard_normal((2, 6, 3)).astype(np.float32)
+    out = np.asarray(ops.stack_memory(jnp.asarray(f), n_steps=3, delay=1))
+    assert out.shape == (2, 6, 9)
+    np.testing.assert_array_equal(out[..., :3], f)
+    np.testing.assert_array_equal(out[:, 1:, 3:6], f[:, :-1])  # lag 1
+    np.testing.assert_array_equal(out[:, :1, 3:6], 0)          # zero edge
+    np.testing.assert_array_equal(out[:, 2:, 6:9], f[:, :-2])  # lag 2
+    # lookahead
+    la = np.asarray(ops.stack_memory(jnp.asarray(f), n_steps=2, delay=-1))
+    np.testing.assert_array_equal(la[:, :-1, 3:6], f[:, 1:])
+    np.testing.assert_array_equal(la[:, -1:, 3:6], 0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ops.stack_memory(jnp.zeros((4, 2)), n_steps=0)
+    with _pytest.raises(ValueError):
+        ops.stack_memory(jnp.zeros((4, 2)), delay=0)

@@ -316,3 +316,23 @@ def test_pyin_node_offline_and_spec_roundtrip():
     # whole-sequence Viterbi: streaming must be refused
     with pytest.raises(AudioError):
         g.init_state(2048)
+
+
+def test_piptrack_tone_and_chord(rng):
+    t = np.arange(FS) / FS
+    x = (0.5 * np.sin(2 * np.pi * 440.0 * t)
+         + 0.3 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+    s = ops.magnitude(ops.stft(jnp.asarray(x), 2048, 512))
+    pitches, mags = ops.piptrack(s, FS, 2048, fmin=150, fmax=2000)
+    pitches, mags = np.asarray(pitches), np.asarray(mags)
+    assert pitches.shape == s.shape and mags.shape == s.shape
+    mid = pitches[5:-5]
+    for want in (440.0, 1000.0):
+        # some candidate within 2 Hz of each partial, every mid frame
+        hit = (np.abs(mid - want) < 2.0).any(axis=-1)
+        assert hit.all(), want
+    # candidates only where mags > 0; outside the band nothing fires
+    freqs = np.arange(s.shape[-1]) * FS / 2048
+    outside = (freqs < 150) | (freqs > 2000)
+    assert (pitches[..., outside] == 0).all()
+    assert ((pitches > 0) == (mags > 0)).all()
