@@ -175,18 +175,24 @@ def make_train_step(
         return walk(opt_state)
 
     # shardings depend on the concrete (params, opt_state) trees, so jit
-    # lazily on first call — the returned callable keeps the uniform
-    # step(params, opt_state, x, y) signature
+    # lazily, keyed on the tree STRUCTURES — a later call with a different
+    # params layout (e.g. a reloaded checkpoint) re-derives its shardings
+    # instead of hitting a stale jit. The returned callable keeps the
+    # uniform step(params, opt_state, x, y) signature.
     cache: dict = {}
 
     def stepper(params, opt_state, x, y):
-        if "fn" not in cache:
+        key = (
+            jax.tree_util.tree_structure(params),
+            jax.tree_util.tree_structure(opt_state),
+        )
+        if key not in cache:
             pshard = param_shardings(params)
-            cache["fn"] = jax.jit(
+            cache[key] = jax.jit(
                 step,
                 in_shardings=(pshard, opt_shardings(opt_state, pshard), data2, data1),
                 out_shardings=(pshard, opt_shardings(opt_state, pshard), repl),
             )
-        return cache["fn"](params, opt_state, x, y)
+        return cache[key](params, opt_state, x, y)
 
     return stepper, optimizer

@@ -262,12 +262,15 @@ def nmf(
         def body(_, hw):
             h, w = hw
             r = jnp.maximum(h @ w, eps)
+            # denominators are rank-1: ones @ w.T == broadcast row sums of w
+            # (computing them as full [T, F] matmuls would double the
+            # per-iteration matmul cost)
             h = h * ((s / r) @ wt(w)) / jnp.maximum(
-                jnp.ones_like(s) @ wt(w), eps
+                w.sum(axis=-1)[..., None, :], eps
             )
             r = jnp.maximum(h @ w, eps)
             w = w * (wt(h) @ (s / r)) / jnp.maximum(
-                wt(h) @ jnp.ones_like(s), eps
+                h.sum(axis=-2)[..., :, None], eps
             )
             return h, w
 

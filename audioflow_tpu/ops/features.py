@@ -391,13 +391,15 @@ def stack_memory(feats: jnp.ndarray, n_steps: int = 2, delay: int = 1) -> jnp.nd
     if delay == 0:
         raise ValueError("delay must be nonzero")
     feats = jnp.asarray(feats)
+    t = feats.shape[-2]
     outs = [feats]
     for k in range(1, n_steps):
         d = k * delay
         pads = [(0, 0)] * (feats.ndim - 2)
-        if d > 0:
-            shifted = jnp.pad(feats[..., : feats.shape[-2] - d, :],
-                              pads + [(d, 0), (0, 0)])
+        if abs(d) >= t:  # lag past the clip: the whole copy is edge fill
+            shifted = jnp.zeros_like(feats)
+        elif d > 0:
+            shifted = jnp.pad(feats[..., : t - d, :], pads + [(d, 0), (0, 0)])
         else:
             shifted = jnp.pad(feats[..., -d:, :], pads + [(0, -d), (0, 0)])
         outs.append(shifted)

@@ -187,7 +187,7 @@ def mel_to_stft(
     m: jnp.ndarray,
     fb: np.ndarray,
     n_iter: int = 32,
-    precision: str | None = "default",
+    precision: str | None = "high",
     eps: float = 1e-10,
 ) -> jnp.ndarray:
     """Nonnegative least-squares inverse of :func:`apply_mel`.
@@ -196,8 +196,11 @@ def mel_to_stft(
     ``s @ fb ~ m`` and ``s >= 0`` by ``n_iter`` multiplicative updates
     ``s <- s * (m @ fb.T) / (s @ fb @ fb.T)`` from the adjoint init
     ``s0 = m @ fb.T`` (scale self-corrects — the update is ratio-based).
-    ``precision`` defaults to bf16: like griffin_lim, each step renormalizes,
-    so rounding does not accumulate.
+    ``precision`` defaults to 'high' (bf16x3): unlike griffin_lim's
+    magnitude replacement, the NNLS *fixpoint itself* shifts with dot
+    rounding — measured on chip, bf16 lands 5.7e-3 off in mel space where
+    bf16x3 stays at the 1e-4 scale (gated by the mel_nnls_rel validate
+    row); pass "default" to trade that for speed.
     """
     import jax
 

@@ -33,31 +33,50 @@ from .framing import frame
 ACF_PRECISION_DEFAULT = "high"  # bf16x3: 1e-5-scale acf error, 0.004 Hz p99 f0
 
 
-@lru_cache(maxsize=16)
-def _acf_banks(w: int, t_max: int) -> tuple[np.ndarray, np.ndarray, int]:
-    """Host-built correlation banks for the matmul ACF.
-
-    Forward bank [w + t_max, 2K] maps a frame to its (Re | Im) DFT at the
-    minimal even transform length n >= w + t_max (no wraparound for lags
-    0..t_max when correlating against the length-w window prefix); inverse
-    bank [2K, t_max + 1] is the truncated irfft with Hermitian weights.
-    float64 design, f32 ship (f32-representable to ~1e-8; the dots run at
-    the configured MXU precision).
-    """
-    m = w + t_max
-    n = m + (m & 1)  # even so the Nyquist bin exists and is unpaired
+@lru_cache(maxsize=32)
+def _dft_corr_parts(
+    n_rows: int, n: int, t_max: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared host-side pieces of every matmul correlation bank: forward
+    cos/sin matrices [n_rows, K] at transform length ``n`` and the
+    Hermitian-weighted truncated-irfft cos/sin [K, t_max + 1] (weights
+    already folded). float64 design, f32 ship (f32-representable to ~1e-8;
+    the dots run at the configured MXU precision). Both the cross-
+    correlation packing (this module) and the autocorrelation packing
+    (ops/rhythm.py) build from these, so the minimal-even-length /
+    Nyquist-weight logic lives exactly once."""
     k_count = n // 2 + 1
-    j = np.arange(m, dtype=np.float64)[:, None]
+    j = np.arange(n_rows, dtype=np.float64)[:, None]
     k = np.arange(k_count, dtype=np.float64)[None, :]
     ang = 2.0 * np.pi * j * k / n
-    fwd = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)  # [m, 2K]
+    cosb, sinb = np.cos(ang), np.sin(ang)
     tau = np.arange(t_max + 1, dtype=np.float64)[None, :]
     wk = np.full((k_count, 1), 2.0)
     wk[0, 0] = 1.0
-    wk[-1, 0] = 1.0
+    if n % 2 == 0:
+        wk[-1, 0] = 1.0
     angi = 2.0 * np.pi * np.arange(k_count, dtype=np.float64)[:, None] * tau / n
-    inv = np.concatenate([wk * np.cos(angi) / n, -wk * np.sin(angi) / n], axis=0)
-    return fwd.astype(np.float32), inv.astype(np.float32), k_count
+    icos, isin = wk * np.cos(angi) / n, wk * np.sin(angi) / n
+    return (cosb.astype(np.float32), sinb.astype(np.float32),
+            icos.astype(np.float32), isin.astype(np.float32))
+
+
+def min_even_length(m: int) -> int:
+    """Minimal even no-wraparound transform length >= m."""
+    return m + (m & 1)
+
+
+@lru_cache(maxsize=16)
+def _acf_banks(w: int, t_max: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Cross-correlation packing of :func:`_dft_corr_parts`: forward bank
+    [w + t_max, 2K] -> (Re | Im) DFT, inverse bank [2K, t_max + 1] = the
+    truncated irfft of a packed (Re | Im) product."""
+    m = w + t_max
+    n = min_even_length(m)
+    cosb, sinb, icos, isin = _dft_corr_parts(m, n, t_max)
+    fwd = np.concatenate([cosb, -sinb], axis=1)  # [m, 2K]
+    inv = np.concatenate([icos, -isin], axis=0)  # [2K, T+1]
+    return fwd, inv, n // 2 + 1
 
 
 def _acf_fft(fr: jnp.ndarray, w: int, t_max: int) -> jnp.ndarray:
@@ -93,6 +112,19 @@ def _resolve_acf_impl(impl: str) -> str:
     if impl not in ("fft", "matmul"):
         raise ValueError(f"unknown acf impl {impl!r}; known: auto, fft, matmul")
     return impl
+
+
+def _parabolic_refine(prev, cur, nxt):
+    """Vertex offset in [-0.5, 0.5] of the parabola through three equally
+    spaced samples (flat/degenerate curvature guarded to 0) — shared by the
+    yin/pyin trough refinement and the piptrack peak refinement."""
+    denom = prev - 2.0 * cur + nxt
+    delta = jnp.where(
+        jnp.abs(denom) > 1e-12,
+        0.5 * (prev - nxt) / jnp.where(denom == 0, 1.0, denom),
+        0.0,
+    )
+    return jnp.clip(delta, -0.5, 0.5)
 
 
 def cmnd_frames(
@@ -189,10 +221,7 @@ def yin_frames(
     d0 = at(tau_star)
     dm = at(jnp.maximum(tau_star - 1, 0))
     dp = at(jnp.minimum(tau_star + 1, dn.shape[-1] - 1))
-    denom = dm - 2.0 * d0 + dp
-    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (dm - dp) / jnp.where(denom == 0, 1.0, denom), 0.0)
-    delta = jnp.clip(delta, -0.5, 0.5)
-    tau_ref = tau_star.astype(dn.dtype) + delta
+    tau_ref = tau_star.astype(dn.dtype) + _parabolic_refine(dm, d0, dp)
     f0 = sample_rate / jnp.maximum(tau_ref, 1.0)
     # aperiodicity: the (uninterpolated) CMND depth at the chosen lag
     return f0, d0
@@ -339,13 +368,7 @@ def pyin_frames(
     trough = (dn < prev) & (dn <= nxt) & in_range  # all local minima, no cap
 
     # parabolic refinement at every lag (only trough lags are ever read)
-    denom = prev - 2.0 * dn + nxt
-    delta = jnp.where(
-        jnp.abs(denom) > 1e-12,
-        0.5 * (prev - nxt) / jnp.where(denom == 0, 1.0, denom),
-        0.0,
-    )
-    delta = jnp.clip(delta, -0.5, 0.5)
+    delta = _parabolic_refine(prev, dn, nxt)
     f0_lag = sample_rate / jnp.maximum(lags.astype(dtype) + delta, 1.0)
 
     # --- per-threshold candidate weighting (lax.scan over the grid) ---
@@ -532,13 +555,7 @@ def piptrack(
     freqs = np.arange(bins) * sample_rate / n_fft
     prev = jnp.concatenate([s[..., :1], s[..., :-1]], axis=-1)
     nxt = jnp.concatenate([s[..., 1:], s[..., -1:]], axis=-1)
-    denom = prev - 2.0 * s + nxt
-    shift = jnp.where(
-        jnp.abs(denom) > 1e-12,
-        0.5 * (prev - nxt) / jnp.where(denom == 0, 1.0, denom),
-        0.0,
-    )
-    shift = jnp.clip(shift, -0.5, 0.5)
+    shift = _parabolic_refine(prev, s, nxt)
     in_band = jnp.asarray((freqs >= fmin) & (freqs <= fmax))
     frame_max = s.max(axis=-1, keepdims=True)
     peak = (s > prev) & (s >= nxt) & in_band & (s >= threshold * frame_max)

@@ -167,23 +167,16 @@ def autocorrelate(
 
 @lru_cache(maxsize=16)
 def _auto_acf_banks(n_in: int, max_lag: int) -> tuple[np.ndarray, np.ndarray]:
-    """Host-built banks for the matmul autocorrelation: forward real DFT
-    [n_in, 2K] at the minimal even no-wrap length n >= n_in + max_lag, and
-    the truncated Hermitian-weighted irfft of the power spectrum [K, T+1]."""
-    m = n_in + max_lag
-    n = m + (m & 1)
-    k_count = n // 2 + 1
-    j = np.arange(n_in, dtype=np.float64)[:, None]
-    k = np.arange(k_count, dtype=np.float64)[None, :]
-    ang = 2.0 * np.pi * j * k / n
-    fwd = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)  # sign-free: power
-    tau = np.arange(max_lag + 1, dtype=np.float64)[None, :]
-    wk = np.full((k_count, 1), 2.0)
-    wk[0, 0] = 1.0
-    wk[-1, 0] = 1.0
-    angi = 2.0 * np.pi * np.arange(k_count, dtype=np.float64)[:, None] * tau / n
-    inv = wk * np.cos(angi) / n
-    return fwd.astype(np.float32), inv.astype(np.float32)
+    """Autocorrelation packing of ops/pitch.py::_dft_corr_parts (the shared
+    bank builder): forward real DFT [n_in, 2K] at the minimal even no-wrap
+    length n >= n_in + max_lag (sin sign-free — only the power spectrum is
+    consumed), inverse = the Hermitian-weighted irfft cos of the power
+    [K, T+1]."""
+    from .pitch import _dft_corr_parts, min_even_length
+
+    n = min_even_length(n_in + max_lag)
+    cosb, sinb, icos, _ = _dft_corr_parts(n_in, n, max_lag)
+    return np.concatenate([cosb, sinb], axis=1), icos
 
 
 def tempogram(

@@ -158,12 +158,14 @@ def segment_boundaries(
     s = self_similarity(feats, metric)
     nov = novelty_curve(s, kernel_width)
     half = max(1, kernel_width // 2)
+    pre_w = half if pre is None else pre
+    post_w = half if post is None else post
     mask = peak_pick(
         nov,
-        pre_max=pre or half,
-        post_max=post or half,
-        pre_avg=pre or half,
-        post_avg=post or half,
+        pre_max=pre_w,
+        post_max=post_w,
+        pre_avg=pre_w,
+        post_avg=post_w,
         delta=delta,
         wait=half if wait is None else wait,
     )

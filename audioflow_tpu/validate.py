@@ -244,6 +244,44 @@ def run_validation(seed: int = 0) -> dict:
         float(np.abs(f0p - 220.0).max() / 220.0) if vfp.all() else 1.0
     )
 
+    # griffin_lim at its shipped bf16 default: spectral-convergence error of
+    # a 16-iteration tone reconstruction. The iteration renormalizes, so
+    # bf16 measures equal convergence to bf16x3 (BENCHMARKS.md); a runtime
+    # change that breaks bf16 accumulation would blow this up. Budget 0.2
+    # (measured 0.14 on CPU f32; chip bf16 within a few percent of it).
+    import jax as _jax
+
+    xg = (0.5 * np.sin(2 * np.pi * 440.0 * np.arange(16000) / 16000.0)).astype(
+        np.float32
+    )
+    # complex intermediates must stay inside jit on this runtime (eager
+    # complex64 allocation is UNIMPLEMENTED through the tunnel)
+    mag_g = _jax.jit(lambda z: ops.magnitude(ops.stft(z, 1024, 256)))(
+        jnp.asarray(xg)
+    )
+    yg = _jax.jit(
+        lambda m: ops.griffin_lim(m, 1024, 256, n_iter=16)
+    )(mag_g)
+    rec_g = np.asarray(
+        _jax.jit(lambda z: ops.magnitude(ops.stft(z, 1024, 256)))(yg)
+    )
+    mg = np.asarray(mag_g)
+    fg = min(rec_g.shape[0], mg.shape[0])
+    report["griffinlim_tone_err"] = float(
+        np.linalg.norm(rec_g[:fg] - mg[:fg]) / np.linalg.norm(mg)
+    )
+
+    # mel NNLS inversion at its shipped bf16 default: the mel projection of
+    # the reconstruction must match the target mel (measured 4.5e-4 at 64
+    # iterations; same renormalization argument as griffin_lim)
+    fb_n = ops.mel_filterbank(513, 64, 16000)
+    s_n = (rng.random((20, 513)) ** 2).astype(np.float32)
+    m_n = ops.apply_mel(jnp.asarray(s_n), fb_n)
+    m_rec = np.asarray(ops.apply_mel(ops.mel_to_stft(m_n, fb_n, n_iter=64), fb_n))
+    report["mel_nnls_rel"] = float(
+        np.abs(m_rec - np.asarray(m_n)).max() / np.asarray(m_n).max()
+    )
+
     # FIR direct path vs float64 serial convolution (gates the TPU conv
     # precision rule — an unpinned conv truncates to bf16, ~3e-3 here)
     hf = ops.fir_design(65, 2000.0, 16000.0)
@@ -266,6 +304,8 @@ def run_validation(seed: int = 0) -> dict:
             "cqt_440_mag_err",
             "acf_matmul_rel",
             "pyin_220_rel",
+            "griffinlim_tone_err",
+            "mel_nnls_rel",
         )
     ]
     report["max_abs_err"] = max(report[k] for k in float_keys)
@@ -280,5 +320,7 @@ def run_validation(seed: int = 0) -> dict:
         and report["cqt_440_mag_err"] < 5e-2
         and report["acf_matmul_rel"] < 1e-3
         and report["pyin_220_rel"] < 5e-3
+        and report["griffinlim_tone_err"] < 0.2
+        and report["mel_nnls_rel"] < 5e-3
     )
     return report

@@ -144,3 +144,15 @@ def test_stack_memory_lags_and_errors(rng):
         ops.stack_memory(jnp.zeros((4, 2)), n_steps=0)
     with _pytest.raises(ValueError):
         ops.stack_memory(jnp.zeros((4, 2)), delay=0)
+
+
+def test_stack_memory_lag_exceeding_clip(rng):
+    """Lags past the clip length are pure edge fill, not a shape crash."""
+    f = rng.standard_normal((5, 3)).astype(np.float32)
+    out = np.asarray(ops.stack_memory(jnp.asarray(f), n_steps=4, delay=2))
+    assert out.shape == (5, 12)
+    np.testing.assert_array_equal(out[:, 9:], 0)          # lag 6 > T=5
+    np.testing.assert_array_equal(out[4:, 6:9], f[:1])    # lag 4 still real
+    la = np.asarray(ops.stack_memory(jnp.asarray(f), n_steps=4, delay=-2))
+    assert la.shape == (5, 12)
+    np.testing.assert_array_equal(la[:, 9:], 0)
