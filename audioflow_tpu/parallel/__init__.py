@@ -11,8 +11,11 @@ gradient psum of :mod:`audioflow_tpu.models.trainable`). Tensor parallelism
 exists where the workload has a model dimension to split: the trainable
 MLP head runs Megatron-sharded on a 2-D ("data", "model") mesh
 (``make_train_step(..., model_axis=)``; one GSPMD all-reduce, sharded adam
-state). PP/SP/EP have no counterpart in a per-file DSP workload and are
-deliberately out of scope.
+state). Sequence parallelism exists for the one-long-signal case:
+:mod:`.sp` shards the TIME axis over chips with a single ppermute halo
+exchange for the frame overlap (the SPMD analog of the streaming carry).
+PP/EP have no counterpart in a per-file DSP workload and are deliberately
+out of scope.
 
 Multi-host (DCN) scaling uses ``jax.distributed`` initialization; batch lanes
 then span the global device set with the same NamedSharding.
@@ -28,6 +31,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import AudioError, ErrorCode
+from .sp import sequence_sharded_spectrogram
 
 
 def make_mesh(

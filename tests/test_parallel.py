@@ -308,3 +308,66 @@ def test_fft_based_analysis_gathers_under_sharding_documented(rng):
     hlo2 = compile_sharded(g2, mesh).lower(x).compile().as_text().lower()
     for coll in ("all-reduce(", "all-gather(", "collective-permute(", "reduce-scatter("):
         assert coll not in hlo2, coll
+
+
+# ---------------------------------------------------------------------------
+# Sequence parallelism (time-axis sharding of one long signal)
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_sharded_spectrogram_matches_unsharded(rng):
+    import jax
+
+    from audioflow_tpu import ops
+    from audioflow_tpu.parallel import make_mesh, sequence_sharded_spectrogram
+
+    mesh = make_mesh(8)
+    x = rng.standard_normal((2, 8 * 4096)).astype(np.float32)
+    out = np.asarray(sequence_sharded_spectrogram(jnp.asarray(x), mesh, 512, 256))
+    ref = np.asarray(ops.spectrogram(jnp.asarray(x), 512, 256, center=False))
+    n = ref.shape[1]
+    assert out.shape == (2, x.shape[1] // 256, 257)
+    rel = np.abs(out[:, :n] - ref).max() / ref.max()
+    assert rel < 1e-5, rel
+    # the halo is the only collective: one ppermute, no gathers/reduces
+    fn = jax.jit(lambda z: sequence_sharded_spectrogram(z, mesh, 512, 256))
+    hlo = fn.lower(jnp.asarray(x)).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo and "all-reduce" not in hlo
+
+
+def test_sequence_sharded_downstream_stays_sharded(rng):
+    """A frame-local mel stage composes with zero extra collectives."""
+    import jax
+
+    from audioflow_tpu import ops
+    from audioflow_tpu.parallel import make_mesh, sequence_sharded_spectrogram
+
+    mesh = make_mesh(8)
+    fb = ops.mel_filterbank(257, 32, 16000)
+    x = rng.standard_normal((1, 8 * 2048)).astype(np.float32)
+
+    def pipe(z):
+        s = sequence_sharded_spectrogram(z, mesh, 512, 256)
+        return ops.log_mel(s, fb)
+
+    out = np.asarray(jax.jit(pipe)(jnp.asarray(x)))
+    ref = np.asarray(ops.log_mel(
+        ops.spectrogram(jnp.asarray(x), 512, 256, center=False), fb))
+    n = ref.shape[1]
+    np.testing.assert_allclose(out[:, :n], ref, atol=1e-4)
+    hlo = jax.jit(pipe).lower(jnp.asarray(x)).compile().as_text()
+    assert hlo.count("all-gather") == 0
+
+
+def test_sequence_sharded_validation():
+    from audioflow_tpu.errors import AudioError
+    from audioflow_tpu.parallel import make_mesh, sequence_sharded_spectrogram
+
+    mesh = make_mesh(8)
+    with pytest.raises(AudioError):  # not a multiple of n_dev * hop
+        sequence_sharded_spectrogram(jnp.zeros((1, 1000)), mesh, 512, 256)
+    with pytest.raises(AudioError):  # local shard shorter than n_fft
+        sequence_sharded_spectrogram(jnp.zeros((1, 8 * 256)), mesh, 512, 256)
+    with pytest.raises(AudioError):  # 1-D input
+        sequence_sharded_spectrogram(jnp.zeros(8 * 4096), mesh, 512, 256)
