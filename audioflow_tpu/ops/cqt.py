@@ -221,3 +221,38 @@ def cqt(
         return jax.lax.complex(re, im)
     p = re * re + im * im
     return jnp.sqrt(p) if output == "magnitude" else p
+
+
+def chroma_cqt(
+    x: jnp.ndarray,
+    sample_rate: float,
+    hop: int = 256,
+    n_octaves: int = 7,
+    fmin: float = FMIN_C1,
+    bins_per_octave: int = 12,
+    norm: bool = True,
+    **kwargs,
+) -> jnp.ndarray:
+    """Pitch-class chromagram folded from the constant-Q transform
+    ``[..., n_frames, 12]`` — octave-robust chroma (every octave of a pitch
+    class contributes to the same bin, unlike the STFT chroma filterbank
+    whose triangular weights blur at low frequencies).
+
+    ``bins_per_octave`` must be a multiple of 12; sub-semitone bins fold
+    into their nearest pitch class. ``norm=True`` L-inf-normalizes each
+    frame (librosa convention); extra kwargs pass through to :func:`cqt`.
+    """
+    if bins_per_octave % 12:
+        raise ValueError(f"bins_per_octave must be a multiple of 12, got {bins_per_octave}")
+    n_bins = n_octaves * bins_per_octave
+    c = cqt(x, sample_rate, hop, n_bins, fmin, bins_per_octave, **kwargs)
+    # fold octaves: [..., F, n_octaves, bins_per_octave] summed over octaves
+    folded = c.reshape(*c.shape[:-1], n_octaves, bins_per_octave).sum(axis=-2)
+    if bins_per_octave > 12:
+        sub = bins_per_octave // 12
+        folded = folded.reshape(*folded.shape[:-1], 12, sub).sum(axis=-1)
+    if norm:
+        folded = folded / jnp.maximum(
+            folded.max(axis=-1, keepdims=True), 1e-10
+        )
+    return folded

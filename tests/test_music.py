@@ -416,3 +416,24 @@ def test_cqt_complex_and_power_consistent(rng):
     p = np.asarray(ops.cqt(jnp.asarray(x), FS, n_bins=24, fmin=440.0,
                            output="power"))
     np.testing.assert_allclose(np.abs(z) ** 2, p, rtol=1e-4, atol=1e-7)
+
+
+def test_chroma_cqt_pitch_class_and_octave_invariance():
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    def cls(freq):
+        x = jnp.asarray(np.sin(2 * np.pi * freq * t).astype(np.float32))
+        ch = np.asarray(ops.chroma_cqt(x, sr, n_octaves=6))
+        return int(np.argmax(ch.mean(axis=0))), ch
+    # A4 = 440 Hz: pitch class A = 9 semitones above C
+    k440, ch = cls(440.0)
+    assert k440 == 9, k440
+    assert ch.shape[-1] == 12
+    # octave invariance: A3 maps to the same class
+    k220, _ = cls(220.0)
+    assert k220 == 9, k220
+    # E5 ~ 659.26 Hz -> class E = 4
+    ke, _ = cls(659.26)
+    assert ke == 4, ke
+    with pytest.raises(ValueError):
+        ops.chroma_cqt(jnp.zeros(4096), sr, bins_per_octave=10)
