@@ -371,3 +371,44 @@ def test_sequence_sharded_validation():
         sequence_sharded_spectrogram(jnp.zeros((1, 8 * 256)), mesh, 512, 256)
     with pytest.raises(AudioError):  # 1-D input
         sequence_sharded_spectrogram(jnp.zeros(8 * 4096), mesh, 512, 256)
+
+
+def test_session7_families_shard_with_zero_collectives(rng):
+    """The session-7 families keep the DP promise when batch-sharded: the
+    effects (elementwise/gather/blocked scans), the matmul-ACF pitch
+    trackers (yin forced impl='matmul' — the CPU auto default is fft, the
+    documented all-gather case), self-similarity + novelty (per-sample Gram
+    matmul + cumsums), NMF (per-sample factorization), and SpecAugment."""
+    import jax
+
+    from audioflow_tpu import ops
+
+    mesh = make_mesh()
+    x = shard_batch(rng.standard_normal((8, 32768)).astype(np.float32), mesh)
+    feats = shard_batch(rng.standard_normal((8, 100, 13)).astype(np.float32), mesh)
+    spec = shard_batch((rng.random((8, 60, 257)) ** 2).astype(np.float32), mesh)
+    key = jax.random.PRNGKey(0)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def sharded(fn, arg, ndim):
+        return jax.jit(
+            fn, in_shardings=(NamedSharding(mesh, P("data", *[None] * (ndim - 1))),)
+        ).lower(arg).compile().as_text().lower()
+
+    cases = [
+        (lambda z: ops.feedback_delay(z, 1000, 0.4, 0.5)[0], x, 2),
+        (lambda z: ops.chorus(z, 16000), x, 2),
+        (lambda z: ops.tremolo(z, 16000), x, 2),
+        (lambda z: ops.deemphasis(z), x, 2),
+        (lambda z: ops.yin(z, 16000, fmin=80, fmax=1000, impl="matmul"), x, 2),
+        (lambda f: ops.novelty_curve(ops.self_similarity(f), 16), feats, 3),
+        (lambda f: ops.lpc(f.reshape(8, -1), 8), x, 2),
+        (lambda s: ops.nmf(s, 3, n_iter=20)[0], spec, 3),
+        (lambda f: ops.spec_augment(f, key), feats, 3),
+    ]
+    for i, (fn, arg, ndim) in enumerate(cases):
+        hlo = sharded(fn, arg, ndim)
+        for coll in ("all-reduce(", "all-gather(", "collective-permute(",
+                     "all-to-all(", "reduce-scatter("):
+            assert coll not in hlo, (i, coll)
