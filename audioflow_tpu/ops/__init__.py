@@ -90,7 +90,16 @@ from .features import (
     tonnetz_basis,
     zero_crossing_rate,
 )
-from .cqt import FMIN_C1, chroma_cqt, cqt, cqt_frequencies, cqt_lengths, cqt_window_length
+from .cqt import (
+    FMIN_C1,
+    chroma_cqt,
+    cqt,
+    cqt_frequencies,
+    cqt_lengths,
+    cqt_window_length,
+    icqt,
+    icqt_max_hop,
+)
 from .fir import convolve, fir_apply, fir_design
 from .framing import frame, num_frames, overlap_add
 from .griffinlim import griffin_lim

@@ -223,6 +223,176 @@ def cqt(
     return jnp.sqrt(p) if output == "magnitude" else p
 
 
+_DUAL_CACHE: dict = {}
+
+
+def icqt_max_hop(
+    sample_rate: float,
+    n_bins: int = 84,
+    fmin: float = FMIN_C1,
+    bins_per_octave: int = 12,
+    filter_scale: float = 1.0,
+) -> int:
+    """Largest analysis hop at which :func:`icqt` reconstruction holds.
+
+    The hop-sampled CQT is only invertible while every kernel still covers
+    the gaps between frames (the "painless" condition): once ``hop``
+    exceeds ~1/3 of the SHORTEST kernel, the top bins' content between
+    frame centers is simply never measured and no dual bank can bring it
+    back (time aliasing — fundamental, not numerical; measured 33.8 dB
+    worst-bin tone SNR at exactly N_min/3, collapsing to negative dB by
+    N_min). Analysis-only uses (chroma, descriptors) are unaffected and
+    keep the usual hop=256.
+    """
+    n_min = int(
+        cqt_lengths(sample_rate, n_bins, fmin, bins_per_octave, filter_scale)[-1]
+    )
+    return max(1, n_min // 3)
+
+
+def _dual_design(
+    sample_rate: float,
+    hop: int,
+    n_bins: int,
+    fmin: float,
+    bins_per_octave: int,
+    window: str,
+    filter_scale: float,
+    nd_mult: int = 2,
+    eps: float = 1e-2,
+    mask_db: float = 40.0,
+):
+    """Host-side synthesis (dual) bank design, float64 -> f32.
+
+    The analysis kernels ``psi_k = g w exp(i ang)`` (the onedot bank's
+    columns) form a frame at hop ``hop``; the painless-case canonical dual
+    is diagonal in frequency: ``d_hat_k = psi_hat_k / W`` with the total
+    response ``W(w) = (1/hop) sum_k (|psi_hat_k(w)|^2 + |psi_hat_k(-w)|^2)``.
+    Two corrections make it work in practice (both measured, see tests):
+
+    * **band mask**: each dual is zeroed where ``|psi_hat_k|`` is more than
+      ``mask_db`` below its peak. Without it, a kernel's far sidelobes get
+      amplified by 1/W in the uncovered regions (below fmin / above the top
+      bin), and the hop-sampling alias images of any tone excite them —
+      measured as a ~20 dB error floor localized at ``f - j*sr/hop``;
+    * **regularization**: W is floored at ``eps * max(W)`` so the rolloff
+      at the band edges (half-covered first/last bins) cannot blow up.
+
+    The duals are designed on an ``nd = nd_mult * F0`` circular grid
+    (``nd_mult=2``): the division by W widens the lowest bin's dual beyond
+    its F0 kernel span, and at nd = F0 it wraps — measured as a low-bin SNR
+    collapse. Returns ``(nd, bank [2*n_bins, nd] f32)`` where a synthesis
+    frame is ``[Re X | Im X] @ bank`` (the 2*Re{X d} expansion).
+    """
+    key = (
+        sample_rate, hop, n_bins, fmin, bins_per_octave, window, filter_scale,
+        nd_mult, eps, mask_db,
+    )
+    if key in _DUAL_CACHE:
+        return _DUAL_CACHE[key]
+    f0, _groups, onedot = _design(
+        sample_rate, hop, n_bins, fmin, bins_per_octave, window, filter_scale
+    )
+    # forward bank columns: cos_b = g w cos(ang), sin_b = -g w sin(ang), so
+    # X = x@cos_b + i x@sin_b = <x, conj(psi)> with psi = g w exp(i ang)
+    psi = (
+        onedot[:, :n_bins].T.astype(np.float64)
+        - 1j * onedot[:, n_bins:].T.astype(np.float64)
+    )
+    nd = f0 * nd_mult
+    psi_p = np.zeros((n_bins, nd), complex)
+    off = nd // 2 - f0 // 2  # keep kernels centered on the design grid
+    psi_p[:, off : off + f0] = psi
+    ph = np.fft.fft(psi_p, axis=1)
+    w_pos = (np.abs(ph) ** 2).sum(0)
+    w_neg = np.empty_like(w_pos)  # |psi_hat(-w)|^2: index -j mod nd
+    w_neg[0] = w_pos[0]
+    w_neg[1:] = w_pos[1:][::-1]
+    w_tot = (w_pos + w_neg) / hop
+    amp = np.abs(ph)
+    mask = amp >= amp.max(axis=1, keepdims=True) * 10.0 ** (-mask_db / 20.0)
+    d_hat = ph * mask / np.maximum(w_tot, eps * w_tot.max())[None, :]
+    d = np.fft.ifft(d_hat, axis=1)  # complex duals, centered at nd//2
+    bank = np.concatenate(
+        [2.0 * d.real, -2.0 * d.imag], axis=0
+    ).astype(np.float32)  # [2*n_bins, nd]
+    _DUAL_CACHE[key] = (nd, bank)
+    return _DUAL_CACHE[key]
+
+
+def icqt(
+    c: jnp.ndarray,
+    sample_rate: float,
+    hop: int = 256,
+    n_bins: int = 84,
+    fmin: float = FMIN_C1,
+    bins_per_octave: int = 12,
+    window: str = "hann",
+    filter_scale: float = 1.0,
+    center: bool = True,
+    length: int | None = None,
+    precision: str | None = None,
+) -> jnp.ndarray:
+    """Inverse CQT: complex coefficients ``[..., n_frames, n_bins]`` (the
+    output of ``cqt(..., output="complex")`` at the SAME parameters) back to
+    a waveform ``[..., T]``.
+
+    TPU formulation mirroring the forward: one dot of ``[Re | Im]`` against
+    a precomputed dual bank (see :func:`_dual_design`) plus an overlap-add —
+    both MXU/fusion friendly, batched, shard-clean on the batch axis.
+
+    Reconstruction holds for content inside the covered band
+    [fmin, top bin] when ``hop <= icqt_max_hop(...)`` (measured >= 33 dB
+    worst-bin / ~70 dB mid-band tone SNR there, gated by the
+    ``icqt_tone_snr_db`` validate row); larger hops degrade the top octaves
+    first (time aliasing — see :func:`icqt_max_hop`). The reference app has
+    no CQT at all; this completes the framework's analysis families so each
+    one has an inversion story (stft->istft, mel/mfcc->audio, cqt->icqt).
+
+    ``length``: output sample count; defaults to ``(n_frames - 1) * hop``
+    (the forward's T is only known to hop resolution). ``precision``
+    follows the forward's default (ops/stft.py DFT_PRECISION_DEFAULT).
+    """
+    from .framing import overlap_add
+
+    if hop > icqt_max_hop(sample_rate, n_bins, fmin, bins_per_octave, filter_scale):
+        import warnings
+
+        warnings.warn(
+            f"icqt at hop={hop} exceeds icqt_max_hop="
+            f"{icqt_max_hop(sample_rate, n_bins, fmin, bins_per_octave, filter_scale)}"
+            " — top-octave content is not recoverable at this frame spacing "
+            "(see icqt_max_hop); expect degraded reconstruction",
+            stacklevel=2,
+        )
+    nd, bank = _dual_design(
+        sample_rate, hop, n_bins, fmin, bins_per_octave, window, filter_scale
+    )
+    f0 = cqt_window_length(
+        sample_rate, hop, n_bins, fmin, bins_per_octave, filter_scale
+    )
+    if c.shape[-1] != n_bins:
+        raise ValueError(f"expected [..., frames, {n_bins}] coefficients, got {c.shape}")
+    n_frames = c.shape[-2]
+    if length is None:
+        length = (n_frames - 1) * hop
+    prec = precision or DFT_PRECISION_DEFAULT
+    ri = jnp.concatenate([jnp.real(c), jnp.imag(c)], axis=-1)  # [..., T_f, 2K]
+    frames = mm(ri, jnp.asarray(bank), prec)  # [..., T_f, nd]
+    y = overlap_add(frames, hop)  # sample i = sum_t frames[t, i - t*hop]
+    # frame t's dual is centered at t*hop (center=True) or t*hop + f0//2
+    # (center=False); OLA index i = t*hop + j with kernel center j = nd//2
+    start = nd // 2 - (0 if center else f0 // 2)
+    if start < 0:
+        pads = [(0, 0)] * (y.ndim - 1) + [(-start, 0)]
+        y, start = jnp.pad(y, pads), 0
+    need = start + length
+    if y.shape[-1] < need:
+        pads = [(0, 0)] * (y.ndim - 1) + [(0, need - y.shape[-1])]
+        y = jnp.pad(y, pads)
+    return y[..., start:need]
+
+
 def chroma_cqt(
     x: jnp.ndarray,
     sample_rate: float,

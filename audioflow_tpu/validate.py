@@ -216,6 +216,34 @@ def run_validation(seed: int = 0) -> dict:
         float(abs(mid[k440] - 1.0)) if int(np.argmax(mid)) == k440 else 1.0
     )
 
+    # icqt: worst-bin tone round-trip SNR at a painless config (hop 48 <=
+    # icqt_max_hop 54 for 48 bins from 110 Hz at 16 kHz) — gates the dual
+    # bank design + synthesis matmul + OLA on chip at shipped precision.
+    # Reported NEGATED (so the row is "smaller is better" like the rest):
+    # row = -min_snr_db, budget -30 (i.e. >= 30 dB). Design study: 38.2 dB
+    # worst (bin 0) in float64; f32/'high' on chip costs < 1 dB.
+    import jax as _jx
+
+    icqt_freqs = ops.cqt_frequencies(48, 110.0)
+    icqt_rt = _jx.jit(
+        lambda z: ops.icqt(
+            ops.cqt(z, 16000, 48, 48, 110.0, output="complex"),
+            16000, 48, 48, 110.0, length=24000,
+        )
+    )
+    snrs = []
+    for k_i in (0, 24, 47):
+        xt = np.sin(
+            2 * np.pi * icqt_freqs[k_i] * np.arange(24000) / 16000.0
+        ).astype(np.float32)
+        yt = np.asarray(icqt_rt(jnp.asarray(xt)))
+        lo, hi = 8000, 16000
+        e = yt[lo:hi] - xt[lo:hi]
+        snrs.append(
+            10.0 * np.log10((xt[lo:hi] ** 2).sum() / max((e ** 2).sum(), 1e-30))
+        )
+    report["icqt_tone_snr_db"] = -float(min(snrs))
+
     # matmul-ACF banks vs the FFT correlation (the shipped TPU default for
     # YIN/tempo rides these banks at 'high'; identical math, so the row is
     # the on-chip numerics gate for the bank construction + precision cap).
@@ -302,6 +330,7 @@ def run_validation(seed: int = 0) -> dict:
             "loudness_997_anchor_lu",
             "yin_220_rel",
             "cqt_440_mag_err",
+            "icqt_tone_snr_db",
             "acf_matmul_rel",
             "pyin_220_rel",
             "griffinlim_tone_err",
@@ -318,6 +347,7 @@ def run_validation(seed: int = 0) -> dict:
         and report["loudness_997_anchor_lu"] < 1e-2
         and report["yin_220_rel"] < 5e-3
         and report["cqt_440_mag_err"] < 5e-2
+        and report["icqt_tone_snr_db"] < -30.0
         and report["acf_matmul_rel"] < 1e-3
         and report["pyin_220_rel"] < 5e-3
         and report["griffinlim_tone_err"] < 0.2

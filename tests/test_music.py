@@ -437,3 +437,74 @@ def test_chroma_cqt_pitch_class_and_octave_invariance():
     assert ke == 4, ke
     with pytest.raises(ValueError):
         ops.chroma_cqt(jnp.zeros(4096), sr, bins_per_octave=10)
+
+
+# ---------------------------------------------------------------- icqt
+
+def _tone_snr(y, x, lo, hi):
+    err = y[lo:hi] - x[lo:hi]
+    return 10.0 * np.log10((x[lo:hi] ** 2).sum() / max((err ** 2).sum(), 1e-30))
+
+
+def test_icqt_tone_round_trip_snr():
+    # painless config: hop 48 <= icqt_max_hop (= N_min // 3 = 54 here);
+    # worst bin measured 38 dB in the float64 design study (ops/cqt.py)
+    sr, hop, n_bins, fmin = 16000, 48, 48, 110.0
+    assert hop <= ops.icqt_max_hop(sr, n_bins, fmin)
+    t_len = 24000
+    n = np.arange(t_len)
+    freqs = ops.cqt_frequencies(n_bins, fmin)
+    for k in (0, 24, 47):  # both edges + mid-band
+        x = np.sin(2 * np.pi * freqs[k] * n / sr).astype(np.float32)
+        c = ops.cqt(jnp.asarray(x), sr, hop, n_bins, fmin, output="complex")
+        y = np.asarray(ops.icqt(c, sr, hop, n_bins, fmin, length=t_len))
+        assert y.shape == (t_len,)
+        snr = _tone_snr(y, x, t_len // 3, 2 * t_len // 3)
+        assert snr >= 30.0, (k, snr)
+
+
+def test_icqt_two_tone_and_batch(rng):
+    sr, hop, n_bins, fmin = 16000, 48, 48, 110.0
+    t_len = 24000
+    n = np.arange(t_len)
+    freqs = ops.cqt_frequencies(n_bins, fmin)
+    x1 = (0.7 * np.sin(2 * np.pi * freqs[10] * n / sr)
+          + 0.3 * np.sin(2 * np.pi * freqs[34] * n / sr)).astype(np.float32)
+    x2 = np.sin(2 * np.pi * freqs[20] * n / sr).astype(np.float32)
+    xb = np.stack([x1, x2])
+    c = ops.cqt(jnp.asarray(xb), sr, hop, n_bins, fmin, output="complex")
+    y = np.asarray(ops.icqt(c, sr, hop, n_bins, fmin, length=t_len))
+    assert y.shape == xb.shape
+    for i in range(2):
+        snr = _tone_snr(y[i], xb[i], t_len // 3, 2 * t_len // 3)
+        assert snr >= 30.0, (i, snr)
+
+
+def test_icqt_center_false_alignment():
+    # center=False: frame t is centered at t*hop + f0//2; the inverse must
+    # undo the same geometry (mid-signal tone SNR holds)
+    sr, hop, n_bins, fmin = 16000, 48, 48, 110.0
+    t_len = 24000
+    n = np.arange(t_len)
+    f = ops.cqt_frequencies(n_bins, fmin)[30]
+    x = np.sin(2 * np.pi * f * n / sr).astype(np.float32)
+    c = ops.cqt(jnp.asarray(x), sr, hop, n_bins, fmin, output="complex",
+                center=False)
+    y = np.asarray(ops.icqt(c, sr, hop, n_bins, fmin, center=False,
+                            length=t_len))
+    snr = _tone_snr(y, x, t_len // 3, 2 * t_len // 3)
+    assert snr >= 30.0, snr
+
+
+def test_icqt_validation_and_hop_warning():
+    sr = 16000
+    c = jnp.zeros((10, 48), jnp.complex64)
+    with pytest.raises(ValueError):
+        ops.icqt(c, sr, 48, n_bins=24, fmin=110.0)  # bin-count mismatch
+    with pytest.warns(UserWarning, match="icqt_max_hop"):
+        ops.icqt(c, sr, 256, n_bins=48, fmin=110.0)  # hop too coarse
+
+
+def test_icqt_max_hop_scales_with_top_bin():
+    # fewer octaves -> longer shortest kernel -> larger invertible hop
+    assert ops.icqt_max_hop(16000, 24, 110.0) > ops.icqt_max_hop(16000, 48, 110.0)
