@@ -31,7 +31,12 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import AudioError, ErrorCode
-from .sp import sequence_sharded_spectrogram
+from .sp import (
+    sequence_sharded_fir,
+    sequence_sharded_frontend,
+    sequence_sharded_resample,
+    sequence_sharded_spectrogram,
+)
 
 
 def make_mesh(

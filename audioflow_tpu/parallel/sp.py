@@ -20,7 +20,22 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["sequence_sharded_spectrogram"]
+__all__ = [
+    "sequence_sharded_fir",
+    "sequence_sharded_frontend",
+    "sequence_sharded_resample",
+    "sequence_sharded_spectrogram",
+]
+
+
+def _validate_2d(x, what):
+    from ..errors import AudioError, ErrorCode
+
+    if x.ndim != 2:
+        raise AudioError(
+            f"{what} takes [batch, T], got {x.shape}",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
 
 
 def sequence_sharded_spectrogram(
@@ -98,3 +113,184 @@ def sequence_sharded_spectrogram(
     )
     xs = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
     return fn(xs)
+
+
+def sequence_sharded_resample(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    input_rate: int,
+    output_rate: int,
+    mode: str = "kaiser",
+    precision: str | None = None,
+    axis: str = "data",
+    **plan_kwargs,
+):
+    """Resample ``x [batch, T]`` with T sharded over ``mesh[axis]``.
+
+    The polyphase band matmul's only cross-shard dependency is the filter
+    support at shard boundaries: each shard fetches ``plan.history`` samples
+    from its LEFT neighbor and ``plan.lookahead`` from its RIGHT neighbor —
+    two ``ppermute`` halo exchanges (the SPMD analog of the streaming
+    resampler's carried history + chunk lookahead, ops/resample.py
+    StreamResamplePlan) — then runs the identical banded block-matmul
+    purely locally. The edge shards receive ppermute's zero fill, which IS
+    the offline convention (zero prehistory, zero-pad tail,
+    resampler.rs:150-166), so the result equals the unsharded
+    :func:`~audioflow_tpu.ops.resample` output exactly (same blocks, same
+    weights — tested at 1e-6).
+
+    Requires ``T % (n_devices * plan.ipb) == 0`` (the streaming chunk
+    granularity, `ops.resample.stream_chunk_multiple`); returns
+    ``[batch, T * up / down]`` sharded over the output time axis.
+    """
+    from ..errors import AudioError, ErrorCode
+    from ..ops.resample import _banded_matmul, make_plan
+
+    if input_rate == output_rate:
+        return jax.device_put(x, NamedSharding(mesh, P(None, axis)))
+    plan = make_plan(input_rate, output_rate, mode, **plan_kwargs)
+    _validate_2d(x, "sequence_sharded_resample")
+    n_dev = mesh.shape[axis]
+    t = x.shape[-1]
+    if t % (n_dev * plan.ipb):
+        raise AudioError(
+            f"T = {t} must divide into {n_dev} shards of whole resample "
+            f"blocks (T % (n_devices * {plan.ipb}) == 0 for "
+            f"{input_rate}->{output_rate})",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+    local_t = t // n_dev
+    hist, look = plan.history, plan.lookahead
+    if local_t < max(hist, look):
+        raise AudioError(
+            f"local shard {local_t} < filter halo {max(hist, look)}; use "
+            f"fewer devices or longer input",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+    n_blocks = local_t // plan.ipb
+
+    def local(xl):
+        parts = []
+        if hist:
+            parts.append(jax.lax.ppermute(
+                xl[..., -hist:], axis,
+                perm=[(i, i + 1) for i in range(n_dev - 1)],
+            ))
+        parts.append(xl)
+        if look:
+            parts.append(jax.lax.ppermute(
+                xl[..., :look], axis,
+                perm=[(i + 1, i) for i in range(n_dev - 1)],
+            ))
+        xe = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else xl
+        dt = xe.dtype if xe.dtype != jnp.float64 else jnp.float32
+        y = _banded_matmul(xe, plan.matrix, n_blocks, plan.ipb, dt, precision)
+        return y.reshape(*xl.shape[:-1], n_blocks * plan.block_out).astype(xl.dtype)
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, axis))
+    return fn(jax.device_put(x, NamedSharding(mesh, P(None, axis))))
+
+
+def sequence_sharded_fir(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    h,
+    axis: str = "data",
+):
+    """Causal FIR of ``x [batch, T]`` with T sharded over ``mesh[axis]``.
+
+    ``y[n] = sum_k h[k] x[n-k]`` needs exactly ``K-1`` samples of left
+    context per shard — the streaming carry ``zi`` of
+    :func:`~audioflow_tpu.ops.fir_apply` — fetched with ONE ``ppermute``
+    from the left neighbor (shard 0 receives zero fill = the offline zero
+    prehistory). Each shard then runs the XLA conv locally (impl='direct';
+    the conv partitions cleanly, unlike the FFT path — see
+    tests/test_parallel.py FFT sharding notes). Same-length output, sharded
+    over the same time axis; equals the unsharded op exactly.
+    """
+    from ..errors import AudioError, ErrorCode
+    from ..ops.fir import fir_apply
+
+    _validate_2d(x, "sequence_sharded_fir")
+    h = np.asarray(h)
+    k = h.shape[-1]
+    n_dev = mesh.shape[axis]
+    t = x.shape[-1]
+    if t % n_dev:
+        raise AudioError(
+            f"T = {t} must divide over {n_dev} devices",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+    if t // n_dev < k - 1:
+        raise AudioError(
+            f"local shard {t // n_dev} < K-1 = {k - 1} halo; use fewer "
+            f"devices or longer input",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+
+    def local(xl):
+        hj = jnp.asarray(h, xl.dtype)
+        if k > 1:
+            zi = jax.lax.ppermute(
+                xl[..., -(k - 1):], axis,
+                perm=[(i, i + 1) for i in range(n_dev - 1)],
+            )
+        else:
+            zi = None
+        y, _ = fir_apply(xl, hj, zi=zi, impl="direct")
+        return y
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, axis))
+    return fn(jax.device_put(x, NamedSharding(mesh, P(None, axis))))
+
+
+def sequence_sharded_frontend(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    input_rate: int,
+    output_rate: int,
+    n_fft: int = 1024,
+    hop: int = 256,
+    n_mels: int = 64,
+    mode: str = "kaiser",
+    window: str = "hann",
+    log_base: str = "ln",
+    precision: str | None = None,
+    axis: str = "data",
+):
+    """The flagship decode->resample->log-mel frontend on ONE long signal,
+    time-sharded end to end (SURVEY §2.6/§5.7's carry<=>halo claim realized
+    across the whole chain, VERDICT r2 item 4).
+
+    ``x [batch, T]`` at ``input_rate`` -> log-mel ``[batch, frames, n_mels]``
+    with every stage sharded over ``mesh[axis]``: resample exchanges its
+    filter halo, the spectrogram exchanges its frame-overlap halo, and the
+    mel projection + log are frame-local — collective footprint is
+    ppermutes ONLY (HLO-asserted in tests: zero gathers/reduces), and the
+    big tensors never leave their shards. Equals the unsharded
+    resample->spectrogram->log_mel pipeline on the fully-covered frames.
+
+    Requires ``T % (n_devices * ipb) == 0`` (resample granularity) and the
+    resampled shard length divisible by ``hop``.
+    """
+    from ..errors import AudioError, ErrorCode
+    from ..ops import mel_filterbank
+    from ..ops.mel import log_mel
+
+    y = sequence_sharded_resample(
+        x, mesh, input_rate, output_rate, mode, precision=precision, axis=axis
+    )
+    n_dev = mesh.shape[axis]
+    if (y.shape[-1] // n_dev) % hop:
+        raise AudioError(
+            f"resampled shard {y.shape[-1] // n_dev} not a multiple of "
+            f"hop {hop}; pick T so T*up/down divides into whole hops per "
+            f"device",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+    s = sequence_sharded_spectrogram(
+        y, mesh, n_fft, hop, window=window, power=True, precision=precision,
+        axis=axis,
+    )
+    fb = mel_filterbank(n_fft // 2 + 1, n_mels, output_rate)
+    return log_mel(s, jnp.asarray(fb), log_base=log_base)

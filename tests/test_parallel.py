@@ -373,6 +373,101 @@ def test_sequence_sharded_validation():
         sequence_sharded_spectrogram(jnp.zeros(8 * 4096), mesh, 512, 256)
 
 
+def test_sequence_sharded_resample_matches_unsharded(rng):
+    """Time-sharded resample == offline resample exactly: same banded
+    block-matmul, halos supplying what the offline zero-pads/neighbors do."""
+    from audioflow_tpu.ops.resample import make_plan
+    from audioflow_tpu.parallel import make_mesh, sequence_sharded_resample
+
+    mesh = make_mesh(8)
+    for in_rate, out_rate, mode in [(48000, 16000, "kaiser"), (16000, 48000, "cubic")]:
+        plan = make_plan(in_rate, out_rate, mode)
+        t = 8 * plan.ipb * 16
+        x = rng.standard_normal((2, t)).astype(np.float32)
+        out = np.asarray(
+            sequence_sharded_resample(jnp.asarray(x), mesh, in_rate, out_rate, mode)
+        )
+        want = np.asarray(ops.resample(jnp.asarray(x), in_rate, out_rate, mode))
+        assert out.shape == want.shape, (out.shape, want.shape)
+        np.testing.assert_allclose(out, want, atol=2e-5)
+
+
+def test_sequence_sharded_resample_collectives_and_errors(rng):
+    import jax
+
+    from audioflow_tpu.ops.resample import make_plan
+    from audioflow_tpu.parallel import make_mesh, sequence_sharded_resample
+
+    mesh = make_mesh(8)
+    plan = make_plan(48000, 16000, "kaiser")
+    x = jnp.asarray(rng.standard_normal((1, 8 * plan.ipb * 8)).astype(np.float32))
+    fn = jax.jit(lambda z: sequence_sharded_resample(z, mesh, 48000, 16000))
+    hlo = fn.lower(x).compile().as_text().lower()
+    assert "collective-permute" in hlo  # the two halo exchanges
+    for coll in ("all-gather", "all-reduce", "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, coll
+    with pytest.raises(AudioError):  # T not a multiple of n_dev * ipb
+        sequence_sharded_resample(jnp.zeros((1, 8 * plan.ipb + 1)), mesh, 48000, 16000)
+    with pytest.raises(AudioError):  # 1-D input
+        sequence_sharded_resample(jnp.zeros(8 * plan.ipb * 8), mesh, 48000, 16000)
+
+
+def test_sequence_sharded_fir_matches_unsharded(rng):
+    import jax
+
+    from audioflow_tpu.parallel import make_mesh, sequence_sharded_fir
+
+    mesh = make_mesh(8)
+    h = ops.fir_design(65, (2000.0,), 16000, "lowpass")
+    x = rng.standard_normal((2, 8 * 1024)).astype(np.float32)
+    out = np.asarray(sequence_sharded_fir(jnp.asarray(x), mesh, h))
+    want, _ = ops.fir_apply(jnp.asarray(x), jnp.asarray(h, jnp.float32), impl="direct")
+    np.testing.assert_allclose(out, np.asarray(want), atol=1e-5)
+    hlo = (
+        jax.jit(lambda z: sequence_sharded_fir(z, mesh, h))
+        .lower(jnp.asarray(x)).compile().as_text().lower()
+    )
+    assert "collective-permute" in hlo
+    for coll in ("all-gather", "all-reduce", "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, coll
+    with pytest.raises(AudioError):  # local shard shorter than K-1
+        sequence_sharded_fir(jnp.zeros((1, 8 * 32)), mesh, np.zeros(65))
+
+
+def test_sequence_sharded_frontend_end_to_end(rng):
+    """The full resample->spectrogram->log-mel frontend, time-sharded on one
+    long signal: equals the unsharded pipeline on the fully-covered frames,
+    with ppermutes as the ONLY collectives (VERDICT r2 item 4)."""
+    import jax
+
+    from audioflow_tpu import ops as O
+    from audioflow_tpu.ops.resample import make_plan
+    from audioflow_tpu.parallel import make_mesh, sequence_sharded_frontend
+
+    mesh = make_mesh(8)
+    in_rate, out_rate, n_fft, hop, n_mels = 48000, 16000, 512, 128, 32
+    plan = make_plan(in_rate, out_rate, "kaiser")
+    # T: whole resample blocks per shard AND resampled shard a multiple of hop
+    t = 8 * plan.ipb * 24  # ipb=384 -> local out 3072 = 24 hops of 128
+    x = rng.standard_normal((1, t)).astype(np.float32)
+    out = np.asarray(sequence_sharded_frontend(
+        jnp.asarray(x), mesh, in_rate, out_rate, n_fft, hop, n_mels
+    ))
+    y = O.resample(jnp.asarray(x), in_rate, out_rate)
+    fb = O.mel_filterbank(n_fft // 2 + 1, n_mels, out_rate)
+    want = np.asarray(O.log_mel(
+        O.spectrogram(y, n_fft, hop, center=False), jnp.asarray(fb)))
+    n = want.shape[1]
+    assert out.shape[:2] == (1, t // 3 // hop)
+    np.testing.assert_allclose(out[:, :n], want, atol=1e-3, rtol=1e-3)
+    fn = jax.jit(lambda z: sequence_sharded_frontend(
+        z, mesh, in_rate, out_rate, n_fft, hop, n_mels))
+    hlo = fn.lower(jnp.asarray(x)).compile().as_text().lower()
+    assert "collective-permute" in hlo
+    for coll in ("all-gather", "all-reduce", "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, coll
+
+
 def test_session7_families_shard_with_zero_collectives(rng):
     """The session-7 families keep the DP promise when batch-sharded: the
     effects (elementwise/gather/blocked scans), the matmul-ACF pitch
