@@ -1147,6 +1147,71 @@ class BeatTrack(Node):
 
 @register_node
 @dataclass(frozen=True)
+class OnlineBeats(Node):
+    """Onset envelope frames ``[..., F, 1]`` -> ``[..., F, 2]`` of
+    (beat mask, BPM track) from the CAUSAL tracker
+    (ops/rhythm.py::online_beat_track) — the streaming counterpart of the
+    whole-signal Ellis DP :class:`BeatTrack`. Carry = running
+    exponentially-forgotten autocorrelation + peak window + beat clock;
+    latency = ``post`` frames (the peak test's lookahead). Offline ==
+    streamed exactly at that whole-unit shift; agreement with the DP on
+    steady-tempo material is tested in tests/test_music.py."""
+
+    hop: int = 256
+    start_bpm: float = 120.0
+    std_bpm: float = 1.0
+    max_tempo: float = 320.0
+    max_lag: int = 256
+    ac_seconds: float = 8.0
+    pre: int = 3
+    post: int = 3
+    delta: float = 0.07
+    warmup_seconds: float = 2.0
+    sample_rate: int | None = None
+
+    domain_in = "frames"
+    domain_out = "frames"
+    wants_first_index = True
+
+    def _plan(self):
+        if self.sample_rate is None:
+            raise AudioError(
+                "OnlineBeats.sample_rate unresolved; set input_rate on the graph"
+            )
+        return ops.make_online_beat_plan(
+            self.sample_rate, self.hop, self.start_bpm, self.std_bpm,
+            self.max_tempo, self.max_lag, self.ac_seconds, self.pre,
+            self.post, self.delta, self.warmup_seconds,
+        )
+
+    def apply(self, x):
+        beat, bpm = ops.online_beat_track(
+            x[..., 0], self.sample_rate, self.hop,
+            start_bpm=self.start_bpm, std_bpm=self.std_bpm,
+            max_tempo=self.max_tempo, max_lag=self.max_lag,
+            ac_seconds=self.ac_seconds, pre=self.pre, post=self.post,
+            delta=self.delta, warmup_seconds=self.warmup_seconds,
+        )
+        return jnp.stack([beat.astype(x.dtype), bpm.astype(x.dtype)], axis=-1)
+
+    def latency(self, n_in):
+        return self.post
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return ops.online_beat_init(self._plan(), lead_shape, dtype)
+
+    def step(self, carry, chunk, first_index=None):
+        env = chunk[..., 0]
+        carry, (beat, bpm) = ops.online_beat_step(
+            self._plan(), carry, env,
+            0 if first_index is None else first_index,
+        )
+        out = jnp.stack([beat.astype(chunk.dtype), bpm.astype(chunk.dtype)], axis=-1)
+        return carry, out
+
+
+@register_node
+@dataclass(frozen=True)
 class GriffinLim(Node):
     """Magnitude frames -> waveform via fast Griffin-Lim (iterative
     ISTFT/STFT projections, ops/griffinlim.py). Whole-signal iterative —

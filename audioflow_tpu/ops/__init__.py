@@ -142,6 +142,10 @@ from .resample import ResamplePlan, make_plan, resample, resample_apply
 from .rhythm import (
     autocorrelate,
     beat_track,
+    make_online_beat_plan,
+    online_beat_init,
+    online_beat_step,
+    online_beat_track,
     onset_strength,
     peak_pick,
     tempo,

@@ -25,6 +25,7 @@ TPU-first formulations:
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
 from functools import lru_cache
 
 import numpy as np
@@ -230,6 +231,171 @@ def tempo(
     lut = bpms.copy()
     lut[0] = start_bpm  # all-zero envelope -> argmax 0 -> sane fallback
     return jnp.asarray(lut.astype(np.float32))[best]
+
+
+@lru_cache(maxsize=16)
+def make_online_beat_plan(
+    sample_rate: float,
+    hop: int,
+    start_bpm: float = 120.0,
+    std_bpm: float = 1.0,
+    max_tempo: float = 320.0,
+    max_lag: int = 256,
+    ac_seconds: float = 8.0,
+    pre: int = 3,
+    post: int = 3,
+    delta: float = 0.07,
+    warmup_seconds: float = 2.0,
+) -> "OnlineBeatPlan":
+    """Static plan for the causal tracker: the lag prior (the same
+    log-normal BPM prior as :func:`tempo`), the exponential-forgetting
+    factor sized so the running autocorrelation window matches the offline
+    tracker's ``ac_size`` seconds, and the peak/warmup knobs."""
+    fr = sample_rate / hop  # envelope frame rate
+    bpms = tempo_frequencies(max_lag + 1, sample_rate, hop)
+    with np.errstate(divide="ignore"):
+        prior = np.exp(-0.5 * ((np.log2(bpms) - np.log2(start_bpm)) / std_bpm) ** 2)
+    prior[0] = 0.0
+    prior[bpms > max_tempo] = 0.0
+    rho = float(np.exp(-1.0 / (ac_seconds * fr)))
+    start_period = float(60.0 * fr / start_bpm)
+    return OnlineBeatPlan(
+        frame_rate=float(fr),
+        max_lag=max_lag,
+        prior=prior.astype(np.float32),
+        rho=rho,
+        pre=pre,
+        post=post,
+        delta=delta,
+        warmup=int(round(warmup_seconds * fr)),
+        start_period=start_period,
+    )
+
+
+@dataclass(frozen=True, eq=False)
+class OnlineBeatPlan:
+    frame_rate: float
+    max_lag: int
+    prior: np.ndarray = field(repr=False)
+    rho: float
+    pre: int
+    post: int
+    delta: float
+    warmup: int
+    start_period: float
+
+    @property
+    def latency(self) -> int:
+        """Decision lookahead in envelope frames (= the streaming latency)."""
+        return self.post
+
+
+def online_beat_init(plan: OnlineBeatPlan, lead_shape=(), dtype=jnp.float32) -> dict:
+    """Zero streaming state (== the offline start-of-signal state)."""
+    return {
+        "ring": jnp.zeros((*lead_shape, plan.max_lag + 1), dtype),
+        "acf": jnp.zeros((*lead_shape, plan.max_lag + 1), dtype),
+        "peak": jnp.zeros((*lead_shape, plan.pre + plan.post + 1), dtype),
+        "emean": jnp.zeros(lead_shape, dtype),
+        "since": jnp.full(lead_shape, 1 << 20, jnp.int32),
+        "period": jnp.full(lead_shape, plan.start_period, dtype),
+    }
+
+
+def online_beat_step(
+    plan: OnlineBeatPlan,
+    carry: dict,
+    env_chunk: jnp.ndarray,
+    first_index: int | jnp.ndarray = 0,
+) -> tuple[dict, tuple[jnp.ndarray, jnp.ndarray]]:
+    """Causal chunk step: onset envelope ``[..., F]`` -> ``(carry,
+    (beat [..., F] bool, bpm [..., F]))``.
+
+    Emission at chunk frame ``j`` refers to envelope frame ``j - post``
+    (the ``plan.latency``-frame lookahead of the peak test); streamed
+    output == the offline :func:`online_beat_track` shifted by exactly
+    that whole-unit latency, the framework streaming invariant. The
+    offline position of chunk frame ``j`` is ``j - first_index`` (the
+    graph-layer ``wants_first_index`` convention) — it gates warmup so a
+    zeroed upstream preroll is a state fixpoint and never counts toward
+    the warmup clock.
+    """
+    prior = jnp.asarray(plan.prior)
+    rho = env_chunk.dtype.type(plan.rho)
+    pos0 = -first_index  # offline position of chunk frame 0
+    env_t = jnp.moveaxis(env_chunk, -1, 0)  # [F, ...]
+
+    def body(c, inp):
+        e, pos = inp
+        ring = jnp.concatenate([e[..., None], c["ring"][..., :-1]], axis=-1)
+        acf = rho * c["acf"] + e[..., None] * ring
+        score = acf * prior
+        best = score.max(axis=-1)
+        lag = score.argmax(axis=-1).astype(env_chunk.dtype)
+        period = jnp.where(best > 0.0, lag, c["period"])
+        peak = jnp.concatenate([e[..., None], c["peak"][..., :-1]], axis=-1)
+        cand = peak[..., plan.post]
+        is_peak = jnp.logical_and(
+            cand >= peak.max(axis=-1), cand > c["emean"] + plan.delta
+        )
+        emean = 0.95 * c["emean"] + 0.05 * e
+        since = jnp.minimum(c["since"] + 1, 1 << 20)
+        sincef = since.astype(env_chunk.dtype)
+        dec_pos = pos - plan.post  # offline frame this step decides about
+        live = dec_pos >= plan.warmup
+        beat = jnp.logical_and(is_peak, sincef >= 0.72 * period)
+        forced = jnp.logical_and(sincef >= 1.6 * period, best > 0.0)
+        beat = jnp.logical_and(jnp.logical_or(beat, forced), live)
+        since = jnp.where(beat, 0, since)
+        bpm = 60.0 * plan.frame_rate / jnp.maximum(period, 1.0)
+        new = {
+            "ring": ring, "acf": acf, "peak": peak, "emean": emean,
+            "since": since, "period": period,
+        }
+        return new, (beat, bpm)
+
+    pos = pos0 + jnp.arange(env_t.shape[0], dtype=jnp.int32)
+    carry, (beat_t, bpm_t) = jax.lax.scan(body, carry, (env_t, pos))
+    return carry, (jnp.moveaxis(beat_t, 0, -1), jnp.moveaxis(bpm_t, 0, -1))
+
+
+def online_beat_track(
+    env: jnp.ndarray,
+    sample_rate: float,
+    hop: int,
+    **plan_kwargs,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Causal/streaming beat tracker (the online counterpart of the
+    whole-signal Ellis DP :func:`beat_track`).
+
+    One O(T * max_lag) ``lax.scan`` over envelope frames, batched over
+    lanes; the carry is a running exponentially-forgotten autocorrelation
+    (the "running tempogram" — same lag prior as :func:`tempo`), a
+    ``pre+post+1``-frame peak window, and a predict/correct beat clock:
+    a beat fires at a local envelope peak once >= 0.72 of the current
+    period has elapsed, or is forced at 1.6 periods (the causal analog of
+    the DP's gap penalty). Decisions lag ``post`` frames (the only
+    lookahead — the declared streaming latency); the first
+    ``warmup_seconds`` emit no beats while the autocorrelation fills.
+
+    Returns ``(beat_mask [..., T] bool, bpm_track [..., T])`` aligned to
+    the envelope (the trailing ``post`` frames are undecided = False).
+    Agreement with the offline DP on steady-tempo material is tested in
+    tests/test_music.py (F-measure + tempo match).
+    """
+    plan = make_online_beat_plan(sample_rate, hop, **plan_kwargs)
+    carry = online_beat_init(plan, env.shape[:-1], env.dtype)
+    _, (beat, bpm) = online_beat_step(plan, carry, env)
+    if plan.post:
+        # emission j decides frame j - post: shift left into alignment
+        beat = jnp.concatenate(
+            [beat[..., plan.post:], jnp.zeros_like(beat[..., :plan.post])], axis=-1
+        )
+        bpm = jnp.concatenate(
+            [bpm[..., plan.post:], bpm[..., -1:] * jnp.ones_like(bpm[..., :plan.post])],
+            axis=-1,
+        )
+    return beat, bpm
 
 
 def beat_track(
