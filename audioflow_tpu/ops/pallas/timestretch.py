@@ -56,22 +56,22 @@ from ..framing import overlap_add
 from ..stft import _dft_banks, _idft_banks
 from ..windows import get_window
 
-try:  # pallas import can fail on exotic builds; gate cleanly
+from .common import (
+    PALLAS_OK as _PALLAS_OK,
+    PRECISIONS as _PRECISIONS,
+    ROWS as _ROWS,
+    make_dot as _make_dot,
+    np_hi_lo as _np_hi_lo,
+    raw_dot as _raw_dot,
+    roll as _common_roll,
+    split_hi_lo as _split_hi_lo,
+)
+
+if _PALLAS_OK:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    _PALLAS_OK = True
-except Exception:  # pragma: no cover
-    _PALLAS_OK = False
-
-
-_ROWS = 8  # batch rows folded per kernel instance (Mosaic sublane granularity)
 _MAX_SHIFTS = 24  # selection-pass budget; larger sets fall back to XLA
-# Mosaic dots natively support DEFAULT (bf16 1-pass) and HIGHEST (bf16x6);
-# "high" is implemented manually as the classic 3-pass hi/lo split
-# (a_hi*b_hi + a_hi*b_lo + a_lo*b_hi with f32 accumulation) — the same
-# arithmetic XLA's Precision.HIGH lowers to, at half the HIGHEST cost.
-_PRECISIONS = ("default", "high", "highest")
 
 
 @dataclass(frozen=True)
@@ -112,7 +112,9 @@ def _vmem_estimate(tile: int, ft_pad: int, n_rows: int, n_fft: int, hop: int) ->
     banks = 2 * n_fft * pad(n_bins, 128) * 4 + 2 * pad(n_bins, 8) * n_fft * 4
     io = _ROWS * (pad(n_rows, 8) + tile) * hop * 4 * 2
     scratch = _ROWS * tile * hop * 4 + 2 * _ROWS * 8 * pad(n_bins, 128) * 4
-    temps = (ft_pad + tile) * _ROWS * pad(n_bins, 128) * 4
+    # slow-downs pad the _select frame axis up to tile, so the live
+    # selection temporaries are max(ft_pad, tile)-sized
+    temps = (max(ft_pad, tile) + tile) * _ROWS * pad(n_bins, 128) * 4
     return banks + io + scratch + temps
 
 
@@ -165,10 +167,7 @@ def supported(rate: float, n_fft: int = 1024, hop: int = 256) -> bool:
 # kernel
 # --------------------------------------------------------------------------
 
-def _roll(x, shift, axis, interpret=False):
-    if interpret:  # pltpu.roll has no interpreter lowering; jnp.roll matches
-        return jnp.roll(x, shift, axis)
-    return pltpu.roll(x, shift % x.shape[axis], axis)
+_roll = _common_roll
 
 
 def _select(x, plan: _Plan, extra: int, row, interpret=False):
@@ -189,6 +188,15 @@ def _select(x, plan: _Plan, extra: int, row, interpret=False):
         g = plan.tile // plan.q
         xs = x[:, extra : extra + g * plan.p, :].reshape(r, g, plan.p, b)
         return xs[:, :, : plan.q, :].reshape(r, plan.tile, b)
+    if ft_pad < plan.tile:
+        # slow-down (p < q): more output rows than input frames. The rolls
+        # need the frame axis at least tile long; zero-pad it (tile is a
+        # multiple of 8, so sublane alignment holds) — the mask below only
+        # ever selects x[(u*p)//q + extra] <= a + 1 < ft_pad, never padding.
+        x = jnp.concatenate(
+            [x, jnp.zeros((r, plan.tile - ft_pad, b), x.dtype)], axis=1
+        )
+        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     shift_of_row = (row * plan.p) // plan.q - row + extra
     y = jnp.zeros_like(x)
     for s in [s + extra for s in plan.shifts]:

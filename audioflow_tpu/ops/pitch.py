@@ -371,36 +371,54 @@ def pyin_frames(
     delta = _parabolic_refine(prev, dn, nxt)
     f0_lag = sample_rate / jnp.maximum(lags.astype(dtype) + delta, 1.0)
 
-    # --- per-threshold candidate weighting (lax.scan over the grid) ---
+    # --- per-threshold candidate weighting, as LAG-axis scans ---
+    # The direct form scans the threshold grid: n_thresholds passes over
+    # [.., F, lags], each with a lag cumsum — measured 114 ms of the 267 ms
+    # total at the librosa-defaults benchmark config (scripts/chip_r3_pyin.py).
+    # Scanning the LAG axis instead with a per-threshold count carry
+    # [.., F, M] does the same math in two passes over the candidate tensor
+    # (counts, then rank-weighted emission): whole-op 254.7 -> 87.1 ms on
+    # chip, max |prob delta| 2.4e-7 (same gate: pyin_220_rel).
     lam = float(boltzmann_parameter)
+    m_count = int(n_thresholds)
     masses = jnp.asarray(
-        _beta_interval_masses(*beta_parameters, n_thresholds), dtype
+        _beta_interval_masses(*beta_parameters, m_count), dtype
     )
     thresholds = jnp.asarray(
-        np.linspace(0.0, 1.0, n_thresholds + 1)[1:].astype(np.float64), dtype
+        np.linspace(0.0, 1.0, m_count + 1)[1:].astype(np.float64), dtype
     )
     geo = dtype.type(1.0) - jnp.exp(jnp.asarray(-lam, dtype))
+    # trough l qualifies at threshold m iff dn[l] < thresholds[m] — compare
+    # against the actual grid everywhere (a floor(dn*M)-index formulation
+    # needs gather-based boundary corrections, and TPU gathers at this shape
+    # measured 160+ ms; scripts/chip_r3_pyin3.py).
+    # The rank normalizer needs the FINAL per-threshold counts before any
+    # weight is computed, so pass 1 is a count-only lag scan: the one-shot
+    # broadcast compare-reduce would materialize [.., F, L, M] (~1e9
+    # elements / ~150 ms of HBM traffic at the benchmark config), while the
+    # scan's [.., F, M] count carry stays VMEM-resident per step.
+    tr_t = jnp.moveaxis(trough, -1, 0)  # [L, .., F]
+    dn_t = jnp.moveaxis(dn, -1, 0)
 
-    def thr_step(carry, tm):
-        prob, nt_mass = carry
-        thr, mass = tm
-        qualify = trough & (dn < thr)
-        cnt = jnp.cumsum(qualify.astype(dtype), axis=-1)
-        n_q = cnt[..., -1:]
-        rank = cnt - 1.0
-        weight = jnp.exp(-lam * rank) * geo
-        norm = jnp.where(
-            n_q > 0, 1.0 - jnp.exp(-lam * n_q), 1.0
-        )
-        prob = prob + jnp.where(qualify, weight / norm, 0.0) * mass
-        nt_mass = nt_mass + mass * (n_q[..., 0] <= 0)
-        return (prob, nt_mass), None
+    def count_step(cnt, inp):
+        tr, dnl = inp
+        return cnt + (tr[..., None] & (dnl[..., None] < thresholds)).astype(dtype), None
 
-    prob0 = jnp.zeros(dn.shape, dtype)
-    nt0 = jnp.zeros(dn.shape[:-1], dtype)
-    (prob, nt_mass), _ = jax.lax.scan(
-        thr_step, (prob0, nt0), (thresholds, masses)
-    )
+    cnt0 = jnp.zeros((*dn.shape[:-1], m_count), dtype)
+    n_q, _ = jax.lax.scan(count_step, cnt0, (tr_t, dn_t))
+    norm_inv = jnp.where(n_q > 0, 1.0 / (1.0 - jnp.exp(-lam * n_q)), 1.0)
+    cmn = masses * norm_inv * geo  # [.., F, M]
+    nt_mass = (masses * (n_q <= 0)).sum(axis=-1)
+
+    def lag_step(cnt, inp):
+        tr, dnl = inp
+        q_m = tr[..., None] & (dnl[..., None] < thresholds)  # [.., F, M]
+        w = jnp.exp(-lam * cnt) * cmn
+        prob_l = jnp.where(q_m, w, 0.0).sum(axis=-1)
+        return cnt + q_m.astype(dtype), prob_l
+
+    _, prob_t = jax.lax.scan(lag_step, cnt0, (tr_t, dn_t))
+    prob = jnp.moveaxis(prob_t, 0, -1)  # [.., F, L]
 
     # thresholds nothing cleared: no_trough_prob of their mass goes to the
     # globally deepest trough (frames with no troughs at all keep prob 0)
@@ -421,16 +439,23 @@ def pyin_frames(
         0,
         n_bins - 1,
     )
-    lead = dn.shape[:-2]
-    f_count, l_count = dn.shape[-2], dn.shape[-1]
-    prob_flat = prob.reshape(-1, l_count)
-    bins_flat = bins.reshape(-1, l_count)
-    rows = jnp.arange(prob_flat.shape[0])[:, None]
-    obs_v = (
-        jnp.zeros((prob_flat.shape[0], n_bins), dtype)
-        .at[rows, bins_flat]
-        .add(prob_flat)
-        .reshape(*lead, f_count, n_bins)
+    # histogram candidates into bins as a lag-axis one-hot scan: the
+    # per-row scatter-add (.at[rows, bins].add) costs 112.7 ms at the
+    # benchmark config — TPU scatter is serial-emulated — while the scan's
+    # [.., F, n_bins] accumulator stays VMEM-resident across steps: 16 ms,
+    # bit-identical (scripts/chip_r3_pyin2.py)
+    ngrid = jnp.arange(n_bins, dtype=jnp.int32)
+    prob_l_t = jnp.moveaxis(prob, -1, 0)  # [L, .., F]
+    bins_t = jnp.moveaxis(bins, -1, 0)
+
+    def bin_step(acc, inp):
+        p, b = inp
+        return acc + jnp.where(b[..., None] == ngrid, p[..., None], 0.0), None
+
+    obs_v, _ = jax.lax.scan(
+        bin_step,
+        jnp.zeros((*dn.shape[:-1], n_bins), dtype),
+        (prob_l_t, bins_t),
     )
 
     log_floor = jnp.asarray(np.log(1e-30), dtype)

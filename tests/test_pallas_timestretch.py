@@ -25,7 +25,9 @@ def _signal(batch=2, seconds=2.0, sr=16000, seed=0):
     return np.stack(rows).astype(np.float32)
 
 
-@pytest.mark.parametrize("rate", [1.25, 2.0, 1.5, 0.8])
+#  2/3 and 0.5 regress the tile > ft_pad slow-down case: the masked-roll
+# _select used to clamp its output to ft_pad frames (shape error at trace)
+@pytest.mark.parametrize("rate", [1.25, 2.0, 1.5, 0.8, 2.0 / 3.0, 0.5])
 def test_matches_xla_path(rate):
     xb = _signal()
     ref = np.asarray(time_stretch(jnp.asarray(xb), rate, 1024, 256, impl="matmul"))
@@ -35,7 +37,11 @@ def test_matches_xla_path(rate):
     # where the XLA path clamps hi to the last frame (documented convention)
     n = ref.shape[-1] - 1024
     rel = np.max(np.abs(ref[:, :n] - got[:, :n])) / (np.abs(ref).max() + 1e-12)
-    assert rel < 2e-3, rel
+    # the kernel's renormalized unit-phasor cumprod and the XLA path's angle
+    # accumulation drift apart linearly in output frames (measured: error
+    # grows monotonically along the output, 2.2e-4 -> 2.5e-3 at rate 0.5);
+    # scale the budget with output length relative to the 0.8 anchor
+    assert rel < 2e-3 * max(1.0, 0.8 / rate), rel
 
 
 @pytest.mark.parametrize(
