@@ -22,6 +22,23 @@ def _tone_batch(batch: int, seconds: float, rate: int, seed: int = 0) -> np.ndar
     return x.astype(np.float32)
 
 
+def _cost_analysis(fn, x) -> dict:
+    """XLA cost analysis (flops / bytes accessed) of ONE iteration's
+    compiled program — the audit numbers behind the roofline column
+    (utilization = how close the measured time sits to the max of the
+    bandwidth floor and the compute floor from the `roofline` calibration
+    row)."""
+    try:
+        c = jax.jit(fn).lower(x).compile().cost_analysis()
+        c = c[0] if isinstance(c, (list, tuple)) else dict(c)
+        return {
+            "flops": float(c.get("flops", -1.0)),
+            "bytes_accessed": float(c.get("bytes accessed", -1.0)),
+        }
+    except Exception:  # backend may not expose cost analysis
+        return {}
+
+
 # iters=10 everywhere: the tunnel charges a fixed ~22-25 ms post-scan
 # scalar-readback latency per measured loop call; at 4 iterations that tax
 # inflated per-iter times by 25-40% on the fast configs (config 2 measured
@@ -42,11 +59,20 @@ def _measure(graph_fn, x, audio_seconds, iters=10, sharded=False):
         n_dev = 1
     m = measure_throughput(fn, x, audio_seconds, iters=iters)
     m.n_devices = n_dev
+    m._cost_fn, m._cost_x = (None, None) if sharded else (fn, x)
     return m
 
 
-def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, sharded: bool = False) -> dict:
-    """Run one named benchmark; returns a JSON-ready dict."""
+def run_benchmark(
+    name: str = "logmel", batch: int = 0, seconds: float = 10.0,
+    sharded: bool = False, cost: bool = True,
+) -> dict:
+    """Run one named benchmark; returns a JSON-ready dict.
+
+    With ``cost=True`` (default) the row also carries XLA's flops /
+    bytes-accessed for the single-iteration program and the achieved
+    TFLOP/s and GB/s — divide by the ``roofline`` calibration row to audit
+    utilization (the BENCHMARKS.md roofline column)."""
     if name in ("stft", "config1"):
         batch = batch or 64
         rate = 16000
@@ -73,6 +99,7 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
         x = jnp.asarray(x[:, :t])
         fn = jax.jit(lambda b: g.scan_stream(b, chunk))
         m = measure_throughput(fn, x, batch * t / rate, iters=10)
+        m._cost_fn, m._cost_x = fn, x
     elif name in ("master", "eq", "config3"):
         batch = batch or 64
         rate = 16000
@@ -133,7 +160,39 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
             m = measure_throughput(fn, xs, batch * t / rate, iters=10)
             m.n_devices = mesh.devices.size
         else:
-            m = measure_throughput(fn, jnp.asarray(x), batch * t / rate, iters=10)
+            x = jnp.asarray(x)
+            m = measure_throughput(fn, x, batch * t / rate, iters=10)
+            m._cost_fn, m._cost_x = fn, x
+    elif name == "roofline":
+        # platform calibration row: streaming HBM bandwidth (elementwise
+        # triad, three 128 MB streams) and the MXU bf16 matmul rate
+        # (8192^3, ~1.1 TFLOP/iter). Every other row's utilization column
+        # is measured time vs max(bytes/hbm_gbps, flops/mxu_tflops_bf16).
+        nels = 32 * 1024 * 1024
+        cvec = jnp.full((nels,), 0.5, jnp.float32)
+        triad = lambda u: u * jnp.float32(1.0001) + cvec  # noqa: E731
+        mt = measure_throughput(
+            triad, jnp.ones((nels,), jnp.float32), 1.0, iters=10
+        )
+        gbps = 3 * nels * 4 * 10 / mt.wall_seconds / 1e9
+        k = 8192
+        w = jnp.full((k, k), 0.001, jnp.bfloat16)
+        mm_fn = lambda a: jax.lax.dot_general(  # noqa: E731
+            a.astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * jnp.float32(1e-3)
+        mmt = measure_throughput(
+            mm_fn, jnp.full((k, k), 0.001, jnp.float32), 1.0, iters=10
+        )
+        tflops = 2 * k**3 * 10 / mmt.wall_seconds / 1e12
+        return {
+            "benchmark": "roofline",
+            "hbm_gbps": round(gbps, 1),
+            "mxu_tflops_bf16": round(tflops, 1),
+            "triad_ms": round(mt.wall_seconds * 100, 3),
+            "matmul_ms": round(mmt.wall_seconds * 100, 3),
+            "compile_seconds": round(mt.compile_seconds + mmt.compile_seconds, 1),
+        }
     elif name in ("session", "session_drain"):
         # live push-path throughput: StreamSession's device-ring + lazy
         # results, one host dispatch chain per chunk. Dominated by this
@@ -155,10 +214,12 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
         block = 8 * chunk if name == "session_drain" else chunk
         cap = 17 * chunk if name == "session_drain" else None
         n = x.shape[-1] // block * block
+        # precompile="all": step + every drain bucket compiled at open, so
+        # the first push (and the latency loop below) never hits a compile
         sess = StreamSession(
             g, chunk_in=chunk, lead_shape=(batch,), ring_capacity=cap
-        ).open()
-        sess.push(x[:, :block])  # compile + warm
+        ).open(precompile="all")
+        sess.push(x[:, :block])  # warm the staging-write path at this shape
         sess.poll_all()
         t0 = _time.perf_counter()
         for i in range(block, n, block):
@@ -166,15 +227,42 @@ def run_benchmark(name: str = "logmel", batch: int = 0, seconds: float = 10.0, s
         last = sess.poll_all()[-1]
         np.asarray(last.data).sum()  # materialize the final chunk = sync
         wall = _time.perf_counter() - t0
-        sess.close()
         audio = batch * (n - block) / rate
+        # latency mode: per-block wall including a host materialization of
+        # that block's result — what a live caller waiting on each chunk
+        # sees (the throughput number above lets dispatch pipeline instead)
+        lat = []
+        for _ in range(3):
+            for i in range(0, n, block):
+                tb = _time.perf_counter()
+                sess.push(x[:, i : i + block])
+                res = sess.poll_all()
+                np.asarray(res[-1].data).sum()
+                lat.append(_time.perf_counter() - tb)
+        sess.close()
+        per_chunk = np.sort(np.asarray(lat)) / max(block // chunk, 1) * 1000.0
+        chunk_s = chunk / rate
+        p50 = float(np.percentile(per_chunk, 50))
+        p99 = float(np.percentile(per_chunk, 99))
         from .obs.metrics import RunMetrics
 
         m = RunMetrics(
             audio_seconds=audio, wall_seconds=wall, batches=(n - block) // chunk,
+            extra={
+                "latency_ms_p50": round(p50, 2),
+                "latency_ms_p99": round(p99, 2),
+                "latency_x_realtime_p50": round(batch * chunk_s / (p50 / 1000.0), 1),
+            },
         )
     else:
         raise ValueError(f"unknown benchmark {name!r}")
     out = m.to_dict()
     out.update({"benchmark": name, "batch": batch, "clip_seconds": seconds})
+    if cost and getattr(m, "_cost_fn", None) is not None:
+        ca = _cost_analysis(m._cost_fn, m._cost_x)
+        if ca.get("flops", -1.0) > 0:
+            per_iter = out["wall_seconds"] / max(out["batches"], 1)
+            out.update(ca)
+            out["achieved_tflops"] = round(ca["flops"] / per_iter / 1e12, 3)
+            out["achieved_gbps"] = round(ca["bytes_accessed"] / per_iter / 1e9, 1)
     return out

@@ -711,7 +711,7 @@ def cmd_bench(args) -> int:
     from .obs import profile_trace
 
     names = (
-        ["stft", "logmel", "master", "pvoc", "streaming", "session"]
+        ["roofline", "stft", "logmel", "master", "pvoc", "streaming", "session"]
         if args.benchmark == "all"
         else [args.benchmark]
     )
@@ -731,6 +731,8 @@ def cmd_bench(args) -> int:
             "|---|---|---|---|---|",
         ]
         for r in results:
+            if "wall_seconds" not in r:  # calibration rows (roofline)
+                continue
             lines.append(
                 f"| {r['benchmark']} | {r['batch']} | {r['clip_seconds']} | "
                 f"{r['wall_seconds'] / max(r['batches'], 1) * 1000:.2f} | "

@@ -1223,7 +1223,7 @@ class GriffinLim(Node):
     n_iter: int = 32
     momentum: float = 0.99
     center: bool = True
-    impl: str = "matmul"
+    impl: str = "auto"  # fused pallas iteration kernel on TPU
     streamable = False
 
     domain_in = "frames"

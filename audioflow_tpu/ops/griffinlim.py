@@ -29,7 +29,7 @@ def griffin_lim(
     momentum: float = 0.99,
     center: bool = True,
     length: int | None = None,
-    impl: str = "matmul",
+    impl: str = "auto",
     precision: str | None = "default",
     init_phase: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
@@ -41,7 +41,12 @@ def griffin_lim(
       momentum: fast-GL acceleration in [0, 1); 0 = classic Griffin-Lim.
       length: output sample count (defaults to the istft natural length).
       impl: DFT implementation for the inner stft/istft ("matmul" keeps the
-        loop on the MXU; "fft" uses XLA's FFT).
+        loop on the MXU; "fft" uses XLA's FFT; "pallas" fuses each whole
+        iteration — momentum, magnitude replacement, inverse DFT,
+        overlap-add, re-analysis — into one VMEM-resident kernel pass, see
+        ops/pallas/griffinlim.py, including its documented edge-frame
+        convention). "auto" (default) picks "pallas" on TPU when the
+        config is supported, else "matmul".
       precision: MXU precision of the DFT banks. Defaults to "default"
         (bf16): the magnitude-replacement projection renormalizes every
         iteration, so bf16 rounding does not accumulate — measured on chip
@@ -59,6 +64,31 @@ def griffin_lim(
     if not 0.0 <= momentum < 1.0:
         raise ValueError(f"momentum must be in [0, 1), got {momentum}")
     mag = jnp.asarray(mag)
+    if impl in ("auto", "pallas"):
+        from .pallas.griffinlim import griffin_lim_pallas, supported
+
+        eligible = (
+            center
+            and n_iter >= 1
+            and mag.ndim >= 2
+            and precision in ("default", "highest")
+            and supported(n_fft, hop)
+        )
+        if impl == "pallas" and not eligible:
+            raise ValueError(
+                "impl='pallas' needs center=True, n_iter >= 1, batched mag, "
+                "precision in ('default', 'highest') and a supported "
+                f"(n_fft={n_fft}, hop={hop}) config"
+            )
+        if impl == "pallas" or (
+            eligible and jax.default_backend() == "tpu"
+        ):
+            return griffin_lim_pallas(
+                mag, n_fft, hop, window=window, n_iter=n_iter,
+                momentum=momentum, length=length, init_phase=init_phase,
+                precision=precision,
+            )
+        impl = "matmul"
     if init_phase is None:
         spec = mag.astype(jnp.complex64)
     else:

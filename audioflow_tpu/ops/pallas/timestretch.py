@@ -226,48 +226,6 @@ def _cumprod_phasor(ur, ui, tile, row, interpret=False):
     return zr, zi
 
 
-def _raw_dot(a, b, prec):
-    return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32,
-    )
-
-
-def _split_hi_lo(a):
-    """Exact f32 = bf16-representable hi + residual lo decomposition."""
-    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
-    return hi, a - hi
-
-
-def _make_dot(precision):
-    """dot(a, (b_hi, b_lo)) at the given precision tier.
-
-    "high" is the classic bf16x3 split (a_hi*b_hi + a_hi*b_lo + a_lo*b_hi,
-    f32 accumulation) — the same arithmetic XLA's Precision.HIGH lowers to at
-    half the HIGHEST cost. The BANK side of the split is precomputed on host
-    (b_lo resident in VMEM) because the banks are constant across grid steps:
-    deriving them in-kernel re-ran the astype/sub chains every step.
-    Other tiers ignore b_lo and use Mosaic's native lowering.
-    """
-    if precision == "high":
-        def dot(a, b_pair):
-            b_hi, b_lo = b_pair
-            a_hi, a_lo = _split_hi_lo(a)
-            d = jax.lax.Precision.DEFAULT
-            return (
-                _raw_dot(a_hi, b_hi, d) + _raw_dot(a_hi, b_lo, d) + _raw_dot(a_lo, b_hi, d)
-            )
-    else:
-        _prec = (
-            jax.lax.Precision.DEFAULT if precision == "default" else jax.lax.Precision.HIGHEST
-        )
-
-        def dot(a, b_pair):
-            return _raw_dot(a, b_pair[0], _prec)
-
-    return dot
-
-
 def _kernel(
     *refs, plan: _Plan, hop, n_fft, n_bins, precision, inv_precision, interpret,
 ):
@@ -472,12 +430,7 @@ def time_stretch_pallas(
     ciw = (ci * w[None, :]).astype(np.float32)
     siw = (si * w[None, :]).astype(np.float32)
 
-    def np_hi_lo(b):  # exact f32 = bf16-representable hi + residual lo
-        import ml_dtypes
-
-        b = np.asarray(b, np.float32)
-        hi = b.astype(ml_dtypes.bfloat16).astype(np.float32)
-        return hi, b - hi
+    np_hi_lo = _np_hi_lo  # host-side hi/lo split (ops/pallas/common.py)
 
     # In "high" mode the bank passed as the dot's hi operand MUST itself be
     # bf16-representable (the lo residual is computed against that rounding);

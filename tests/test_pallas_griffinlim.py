@@ -1,0 +1,165 @@
+"""Fused Griffin-Lim kernel (ops/pallas/griffinlim.py), interpret mode.
+
+Strategy: the kernel's STRUCTURE (tiled synthesis, delayed re-analysis,
+WOLA normalization, OLA tail carry) is verified exactly via one projection
+at precision="highest" against the XLA stft(istft(.)) path — interior
+frames must agree to f32 roundoff. Full-GL audio equality between any two
+implementations is NOT a meaningful test: magnitude replacement divides by
+|accel|, so 1-ulp differences at weak bins become O(1) phase differences
+within a few iterations (measured: two f32-exact paths diverge to 3e-2 by
+iteration 2). Quality is therefore asserted the way the validate gate does
+it — spectral convergence of the output against the target magnitude —
+side by side with the XLA path.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audioflow_tpu.ops.griffinlim import griffin_lim
+from audioflow_tpu.ops.pallas.griffinlim import (
+    _pick_tile,
+    griffin_lim_pallas,
+    supported,
+)
+from audioflow_tpu.ops.stft import istft, stft
+
+
+def _signal(batch=2, seconds=1.5, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    rows = [
+        0.5 * np.sin(2 * np.pi * 440.0 * t)
+        + 0.2 * np.sin(2 * np.pi * 880.0 * t + 0.7)
+        + 0.02 * rng.standard_normal(t.size)
+    ]
+    for b in range(1, batch):
+        rows.append(0.4 * np.sin(2 * np.pi * (200.0 + 60 * b) * t))
+    return np.stack(rows).astype(np.float32)
+
+
+def _mag(xb, n_fft=1024, hop=256):
+    return jnp.abs(stft(jnp.asarray(xb), n_fft, hop, impl="matmul",
+                        precision="highest"))
+
+
+def test_supported():
+    assert supported(1024, 256)
+    assert supported(512, 128)
+    assert not supported(1024, 300)  # hop does not divide n_fft
+    assert not supported(1024, 1024)  # k < 2: no overlap to add
+    assert _pick_tile(1024, 256) is not None
+
+
+def test_single_projection_matches_xla_interior():
+    """stft(istft(mag)) through the kernel == the XLA composition, exactly
+    (f32), on every frame except the documented edge convention (first two
+    and the final frame: the XLA path reflect-pads the trimmed signal)."""
+    mag = _mag(_signal())
+    f = mag.shape[-2]
+    y = istft(mag.astype(jnp.complex64), 1024, 256, impl="matmul",
+              precision="highest")
+    r_ref = np.asarray(stft(y, 1024, 256, impl="matmul",
+                            precision="highest"))[:, :f]
+    r_got = np.asarray(
+        griffin_lim_pallas(mag, n_iter=1, momentum=0.0, precision="highest",
+                           interpret=True, _debug_rebuilt=True)
+    )
+    err = np.abs(r_ref - r_got) / (np.abs(r_ref).max() + 1e-12)
+    assert err[:, 2:-1].max() < 1e-5, err[:, 2:-1].max()
+    # and the edge frames ARE different (guards against the test silently
+    # comparing identical code paths)
+    assert err[:, 0].max() > 1e-3
+
+
+def test_quality_matches_xla_path():
+    """Spectral convergence ||(|stft(y)| - mag)|| / ||mag|| after 8
+    iterations is as good as the XLA path's (the validate-gate metric)."""
+    mag = _mag(_signal())
+    f = mag.shape[-2]
+
+    def specconv(yy):
+        m2 = jnp.abs(stft(jnp.asarray(yy), 1024, 256, impl="matmul",
+                          precision="highest"))[..., :f, :]
+        return float(jnp.linalg.norm(m2 - mag) / jnp.linalg.norm(mag))
+
+    sc_ref = specconv(griffin_lim(mag, n_iter=8, impl="matmul",
+                                  precision="default"))
+    sc_got = specconv(griffin_lim_pallas(mag, n_iter=8, interpret=True))
+    assert sc_got < sc_ref + 0.02, (sc_got, sc_ref)
+
+
+def test_tone_reconstruction():
+    """GL recovers a tone only up to a global phase, so assert what it
+    guarantees: the target magnitude is matched (spectral convergence, the
+    validate-gate metric) and the dominant frequency is right."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    mag = _mag(x[None])
+    y = np.asarray(griffin_lim_pallas(mag, n_iter=8, length=sr,
+                                      interpret=True))[0]
+    m2 = np.asarray(_mag(y[None]))[:, : mag.shape[-2]]
+    sc = np.linalg.norm(m2 - np.asarray(mag)) / np.linalg.norm(np.asarray(mag))
+    # 8-iteration GL lands ~0.17 on this metric for any implementation
+    # (BENCHMARKS.md records 0.1706 for the XLA path at the bench config);
+    # the XLA-relative bound lives in test_quality_matches_xla_path
+    assert sc < 0.25, sc
+    sp = np.abs(np.fft.rfft(y * np.hanning(y.size)))
+    fdom = np.argmax(sp) * sr / y.size
+    assert abs(fdom - 440.0) < 3.0, fdom
+
+
+def test_init_phase_oracle_is_kept():
+    """Seeding with the true phase makes the first projection a no-op up to
+    DFT roundoff: reconstruction is immediately near-exact interior."""
+    xb = _signal(batch=1)
+    spec = stft(jnp.asarray(xb), 1024, 256, impl="matmul", precision="highest")
+    mag, ph = jnp.abs(spec), jnp.angle(spec)
+    y = np.asarray(
+        griffin_lim_pallas(mag, n_iter=2, init_phase=ph, length=xb.shape[-1],
+                           precision="highest", interpret=True)
+    )
+    sl = slice(2048, xb.shape[-1] - 2048)
+    rel = np.abs(y[:, sl] - xb[:, sl]).max() / np.abs(xb).max()
+    assert rel < 1e-3, rel
+
+
+def test_momentum_zero_and_length():
+    mag = _mag(_signal(batch=1, seconds=1.0))
+    y = np.asarray(griffin_lim_pallas(mag, n_iter=2, momentum=0.0,
+                                      length=12345, interpret=True))
+    assert y.shape == (1, 12345)
+    assert np.isfinite(y).all()
+
+
+def test_lead_dims():
+    mag = _mag(_signal(batch=4, seconds=1.0))
+    m3 = jnp.reshape(mag, (2, 2, *mag.shape[1:]))
+    y = np.asarray(griffin_lim_pallas(m3, n_iter=1, interpret=True))
+    assert y.shape[:2] == (2, 2)
+    y2 = np.asarray(griffin_lim_pallas(mag, n_iter=1, interpret=True))
+    np.testing.assert_allclose(y.reshape(4, -1), y2, rtol=0, atol=1e-6)
+
+
+def test_validation_errors():
+    mag = jnp.zeros((2, 16, 513))
+    with pytest.raises(ValueError, match="momentum"):
+        griffin_lim_pallas(mag, momentum=1.0, interpret=True)
+    with pytest.raises(ValueError, match="n_iter"):
+        griffin_lim_pallas(mag, n_iter=0, interpret=True)
+    with pytest.raises(ValueError, match="bins"):
+        griffin_lim_pallas(jnp.zeros((2, 16, 512)), interpret=True)
+    with pytest.raises(ValueError, match="precision"):
+        griffin_lim_pallas(mag, precision="high", interpret=True)
+    with pytest.raises(ValueError, match="pallas"):
+        griffin_lim(mag, center=False, impl="pallas")
+
+
+def test_auto_dispatch_falls_back_on_cpu():
+    # on the CPU test platform "auto" must route to the XLA matmul path
+    mag = _mag(_signal(batch=1, seconds=0.5))
+    y_auto = np.asarray(griffin_lim(mag, n_iter=2))
+    y_mm = np.asarray(griffin_lim(mag, n_iter=2, impl="matmul"))
+    np.testing.assert_array_equal(y_auto, y_mm)

@@ -192,3 +192,48 @@ def test_ragged_pushes_compile_bounded_shape_buckets():
     assert s._samples_in == total  # bucket padding never leaks into the data
     assert len(seen) <= 5, seen  # 256/512/1024/2048 + headroom cap
     s.close()
+
+
+def test_open_precompiles_entire_first_push_chain():
+    """open(precompile=True) must warm EVERY program the first chunk-cadence
+    push dispatches — graph step, staging write at the canonical bucket,
+    chunk take — so the first live push never stalls on a compile (measured
+    1.8 s first push vs 75 ms steady on chip before the ring programs were
+    included). Asserted via the pjit C++ cache: sizes after open == sizes
+    after the first push."""
+    g = _graph()
+    s = StreamSession(g, chunk_in=512).open()
+    sizes = lambda: (  # noqa: E731
+        s._write._cache_size(), s._take._cache_size()
+    )
+    warm = sizes()
+    assert all(n >= 1 for n in warm), warm
+    s.push(np.ones(512, np.float32))
+    s.poll()
+    assert sizes() == warm
+    s.close()
+
+
+def test_open_precompile_all_covers_drain_buckets():
+    g = _graph()
+    s = StreamSession(g, chunk_in=256, ring_capacity=17 * 256).open(
+        precompile="all"
+    )
+    assert set(s._multi) == set(s._drain_buckets)
+    take_warm = s._take._cache_size()
+    s.push(np.ones(8 * 256, np.float32))  # drains through the 8-bucket
+    assert s._take._cache_size() == take_warm
+    s.close()
+
+
+def test_open_precompile_false_defers_compiles():
+    # lead_shape=(7,) makes every ring-program shape unique to this test:
+    # the pjit cache is shared across jax.jit wrappers of the same function,
+    # so counts are process-global and a colliding bucket shape compiled by
+    # ANY earlier test would mask the lazy compile this asserts on
+    g = _graph()
+    s = StreamSession(g, chunk_in=384, lead_shape=(7,)).open(precompile=False)
+    after_open = s._write._cache_size()
+    s.push(np.ones((7, 384), np.float32))  # still works, compiles lazily
+    assert s._write._cache_size() > after_open
+    s.close()
