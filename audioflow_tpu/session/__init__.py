@@ -270,6 +270,25 @@ class StreamSession:
                 f"lead shape {arr.shape[:-1]} != session lead {self.lead_shape}",
                 code=ErrorCode.SHAPE_MISMATCH,
             )
+        # chunk-cadence fast path: with nothing pending, staging write
+        # followed by an immediate take of the same samples is an identity —
+        # step the push directly. One device dispatch instead of three
+        # (write/take/step); at the runtime's ~2 ms fixed charge per
+        # dispatch segment that is the live path's latency floor. A push of
+        # exactly one drain bucket takes the same shortcut through the
+        # multi-chunk scan program.
+        n = arr.shape[-1]
+        if self._pending == 0 and n == self.chunk_in:
+            self._samples_in += n
+            self._process(jnp.asarray(arr, self.dtype), final=False)
+            return 1
+        if self._pending == 0 and (
+            n % self.chunk_in == 0 and n // self.chunk_in in self._drain_buckets
+        ):
+            self._samples_in += n
+            b = n // self.chunk_in
+            self._process_multi(jnp.asarray(arr, self.dtype), b)
+            return b
         # ring invariant: residual < chunk_in at every drain point, one slot
         # reserved -> headroom per write is capacity - chunk_in. Larger
         # pushes are split and interleaved with drains (overflow-free; the

@@ -226,6 +226,56 @@ def test_open_precompile_all_covers_drain_buckets():
     s.close()
 
 
+def test_chunk_cadence_pushes_bypass_staging():
+    """A push of exactly chunk_in (or one drain bucket) with nothing pending
+    must step directly — no staging write/take dispatches (the live path's
+    latency floor is the runtime's fixed per-dispatch charge) — and still
+    match offline exactly."""
+    g = _graph()
+    chunk = 512
+    x = np.random.default_rng(3).standard_normal(8 * chunk).astype(np.float32)
+    offline = np.asarray(g.compile()(jnp.asarray(x)))
+    lat = g.stream_latency(chunk)
+
+    s = StreamSession(g, chunk_in=chunk, ring_capacity=17 * chunk).open(
+        precompile=False
+    )
+    calls = {"write": 0, "take": 0}
+    orig_write, orig_take = s._write, s._take
+    s._write = lambda *a: calls.__setitem__("write", calls["write"] + 1) or orig_write(*a)
+    s._take = lambda *a: calls.__setitem__("take", calls["take"] + 1) or orig_take(*a)
+    s.push(x[: 2 * chunk])  # bucket-2 fast path
+    for i in range(2, 7):
+        s.push(x[i * chunk : (i + 1) * chunk])  # chunk fast path
+    s.push(x[7 * chunk :])
+    assert calls == {"write": 0, "take": 0}, calls  # staging never dispatched
+    s._write, s._take = orig_write, orig_take
+    got = np.concatenate([r.data for r in s.poll_all()], axis=-1)
+    m = min(got.shape[-1] - lat, offline.shape[-1])
+    np.testing.assert_allclose(got[lat : lat + m], offline[:m], atol=2e-6)
+    s.close()
+
+
+def test_fast_path_mixes_with_ragged_pushes_exactly():
+    """Interleaving cadence-aligned (fast-path) and ragged (staged) pushes
+    must produce the same stream as offline — the fast path may only fire
+    when the ring is empty."""
+    g = _graph()
+    chunk = 512
+    x = np.random.default_rng(4).standard_normal(10 * chunk).astype(np.float32)
+    offline = np.asarray(g.compile()(jnp.asarray(x)))
+    lat = g.stream_latency(chunk)
+    s = StreamSession(g, chunk_in=chunk).open()
+    cuts = [0, 512, 812, 1024, 2048, 2948, 3072, 4096, 4596, 5120, len(x)]
+    for a, b in zip(cuts, cuts[1:]):
+        s.push(x[a:b])
+    s.flush()
+    got = np.concatenate([r.data for r in s.poll_all()], axis=-1)
+    m = min(got.shape[-1] - lat, offline.shape[-1])
+    np.testing.assert_allclose(got[lat : lat + m], offline[:m], atol=2e-6)
+    s.close()
+
+
 def test_open_precompile_false_defers_compiles():
     # lead_shape=(7,) makes every ring-program shape unique to this test:
     # the pjit cache is shared across jax.jit wrappers of the same function,
@@ -234,6 +284,8 @@ def test_open_precompile_false_defers_compiles():
     g = _graph()
     s = StreamSession(g, chunk_in=384, lead_shape=(7,)).open(precompile=False)
     after_open = s._write._cache_size()
-    s.push(np.ones((7, 384), np.float32))  # still works, compiles lazily
+    # 500 samples is NOT cadence-aligned, so it must go through staging
+    # (a 384-sample push would take the direct fast path instead)
+    s.push(np.ones((7, 500), np.float32))  # still works, compiles lazily
     assert s._write._cache_size() > after_open
     s.close()
