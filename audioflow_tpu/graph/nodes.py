@@ -1185,6 +1185,10 @@ class OnlineBeats(Node):
         )
 
     def apply(self, x):
+        if self.sample_rate is None:
+            raise AudioError(
+                "OnlineBeats.sample_rate unresolved; set input_rate on the graph"
+            )
         beat, bpm = ops.online_beat_track(
             x[..., 0], self.sample_rate, self.hop,
             start_bpm=self.start_bpm, std_bpm=self.std_bpm,

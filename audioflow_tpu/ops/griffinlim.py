@@ -72,7 +72,7 @@ def griffin_lim(
             and n_iter >= 1
             and mag.ndim >= 2
             and precision in ("default", "highest")
-            and supported(n_fft, hop)
+            and supported(n_fft, hop, precision=precision)
         )
         if impl == "pallas" and not eligible:
             raise ValueError(
@@ -89,10 +89,15 @@ def griffin_lim(
                 precision=precision,
             )
         impl = "matmul"
+    # Build complex values via lax.complex from real parts: eager complex
+    # CONSTANTS (0j fills, 1j scalars) require a complex host->device upload,
+    # which this TPU runtime does not implement outside jit.
+    mag = mag.astype(jnp.float32)
     if init_phase is None:
-        spec = mag.astype(jnp.complex64)
+        spec = jax.lax.complex(mag, jnp.zeros_like(mag))
     else:
-        spec = (mag * jnp.exp(1j * init_phase)).astype(jnp.complex64)
+        p = jnp.asarray(init_phase, jnp.float32)
+        spec = jax.lax.complex(mag * jnp.cos(p), mag * jnp.sin(p))
 
     def project(s):
         """istft -> stft round trip (projection onto consistent spectrograms)."""
@@ -116,6 +121,7 @@ def griffin_lim(
         phase = accel / jnp.maximum(jnp.abs(accel), 1e-16)
         return mag * phase, rebuilt
 
-    spec, _ = jax.lax.fori_loop(0, n_iter, body, (spec, jnp.zeros_like(spec)))
+    zeros = jax.lax.complex(jnp.zeros_like(mag), jnp.zeros_like(mag))
+    spec, _ = jax.lax.fori_loop(0, n_iter, body, (spec, zeros))
     return istft(spec, n_fft, hop, window=window, center=center, length=length,
                  impl=impl, precision=precision)

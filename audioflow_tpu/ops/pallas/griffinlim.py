@@ -67,15 +67,26 @@ if _PALLAS_OK:
     from jax.experimental.pallas import tpu as pltpu
 
 
-def supported(n_fft: int = 1024, hop: int = 256, win_length: int | None = None) -> bool:
-    """True when the fused iteration kernel handles this config."""
+def supported(
+    n_fft: int = 1024,
+    hop: int = 256,
+    win_length: int | None = None,
+    precision: str = "default",
+) -> bool:
+    """True when the fused iteration kernel handles this config.
+
+    Must mirror griffin_lim_pallas's own feasibility checks exactly —
+    impl='auto' dispatches on this answer, so a True here for a config the
+    kernel then rejects (or mis-slices) turns into a trace-time crash.
+    """
     if not _PALLAS_OK:
         return False
     if win_length is not None and win_length != n_fft:
         return False
     if n_fft % hop or n_fft // hop < 2:
         return False
-    return _pick_tile(n_fft, hop) is not None
+    state_bytes = 2 if precision == "default" else 4
+    return _pick_tile(n_fft, hop, state_bytes) is not None
 
 
 _VMEM_BUDGET = int(30 * 2**20)  # physical VMEM is ~128 MB; like the
@@ -101,7 +112,15 @@ def _vmem_estimate(tile: int, n_fft: int, hop: int, state_bytes: int = 2) -> int
 
 
 def _pick_tile(n_fft: int, hop: int, state_bytes: int = 2) -> int | None:
+    # OLA-carry constraint: the delayed analysis concatenates the previous
+    # emitted tile with the first k-1 rows of the current one
+    # (_kernel step 4) — a tile shorter than k-1 rows would silently clamp
+    # that slice and mis-shape the frame gather. tile >= k - 1 is a hard
+    # feasibility bound, not a tuning choice.
+    k = n_fft // hop
     for tile in (64, 56, 48, 40, 32, 24, 16, 8):
+        if tile < k - 1:
+            break
         if _vmem_estimate(tile, n_fft, hop, state_bytes) <= _VMEM_BUDGET:
             return tile
     return None
@@ -227,7 +246,12 @@ def griffin_lim_pallas(
     sdt = jnp.bfloat16 if precision == "default" else jnp.float32
     tile = _pick_tile(n_fft, hop, 2 if sdt == jnp.bfloat16 else 4)
     if tile is None:
-        raise ValueError(f"no VMEM-feasible tile for n_fft={n_fft}, hop={hop}")
+        raise ValueError(
+            f"no feasible tile for n_fft={n_fft}, hop={hop}, "
+            f"precision={precision!r}: the fused kernel needs a tile of at "
+            f"least n_fft//hop - 1 = {n_fft // hop - 1} frames (OLA carry) "
+            "within the VMEM budget — use impl='matmul' for this config"
+        )
     mag = jnp.asarray(mag, jnp.float32)
     if mag.ndim == 1:
         raise ValueError("mag must be [..., F, n_fft//2 + 1]")

@@ -600,3 +600,16 @@ def test_online_beats_node_streams_exactly(rng):
 
     g2 = graph_from_spec(graph_to_spec(g))
     assert g2.nodes == g.nodes
+
+
+def test_online_beats_unresolved_sample_rate_raises_audio_error():
+    """Regression (round-3 advisor): apply() must raise the conventional
+    AudioError when sample_rate is unresolved, like every sibling node."""
+    from audioflow_tpu.errors import AudioError
+    from audioflow_tpu.graph import OnlineBeats
+
+    node = OnlineBeats(hop=256)
+    with pytest.raises(AudioError, match="sample_rate unresolved"):
+        node.apply(jnp.zeros((2, 16, 1)))
+    with pytest.raises(AudioError, match="sample_rate unresolved"):
+        node.init_carry((2,), 16)

@@ -52,6 +52,42 @@ def test_supported():
     assert _pick_tile(1024, 256) is not None
 
 
+def test_supported_enforces_ola_carry_and_precision():
+    """Regression (round-3 advisor): supported() must reject configs whose
+    OLA carry (k-1 rows) exceeds every feasible tile, and must model VMEM
+    with the precision-matched state bytes — impl='auto' dispatches on this
+    answer and a wrong True crashes at trace time."""
+    # k-1 = 127 > max tile 64: no tile can carry the delayed analysis
+    assert not supported(1024, 8)
+    assert not supported(2048, 64)
+    # every tile _pick_tile can return satisfies tile >= k - 1
+    for n_fft, hop in [(1024, 16), (1024, 256), (2048, 256), (2048, 512)]:
+        for sb in (2, 4):
+            tile = _pick_tile(n_fft, hop, sb)
+            if tile is not None:
+                assert tile >= n_fft // hop - 1, (n_fft, hop, sb, tile)
+    # f32 state (precision='highest') needs more VMEM than bf16 state:
+    # (1024, 16) fits only with bf16 state planes
+    assert supported(1024, 16, precision="default")
+    assert not supported(1024, 16, precision="highest")
+    # explicit impl='pallas' on an infeasible config: clear error, not a
+    # trace-time reshape failure
+    with pytest.raises(ValueError, match="OLA carry"):
+        griffin_lim_pallas(jnp.zeros((1, 16, 513)), 1024, 8, interpret=True)
+
+
+def test_ola_carry_edge_config_runs():
+    """n_fft=1024/hop=16 (k-1 = 63 = largest tile - 1) crashed before the
+    round-4 eligibility fix; now it must run and produce finite audio."""
+    sr = 16000
+    t = np.arange(4096) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)[None]
+    mag = jnp.abs(stft(jnp.asarray(x), 1024, 16, impl="matmul",
+                       precision="highest"))
+    y = np.asarray(griffin_lim_pallas(mag, 1024, 16, n_iter=1, interpret=True))
+    assert np.isfinite(y).all()
+
+
 def test_single_projection_matches_xla_interior():
     """stft(istft(mag)) through the kernel == the XLA composition, exactly
     (f32), on every frame except the documented edge convention (first two
