@@ -55,7 +55,10 @@ from .windows import get_window
 #: C1 in the A440 12-TET tuning — the conventional CQT floor.
 FMIN_C1 = 32.70319566257483
 
-_KERNEL_CACHE: dict = {}
+from ..utils.cache import BoundedCache
+
+# per-config analysis banks, ~F0*2*n_bins*4 B each (~6 MB at 84 bins/16 kHz)
+_KERNEL_CACHE = BoundedCache(maxsize=16)
 
 
 def cqt_frequencies(
@@ -223,7 +226,8 @@ def cqt(
     return jnp.sqrt(p) if output == "magnitude" else p
 
 
-_DUAL_CACHE: dict = {}
+# per-config synthesis banks, ~2*n_bins*nd*4 B each (~11 MB at 84 bins/16 kHz)
+_DUAL_CACHE = BoundedCache(maxsize=8)
 
 
 def icqt_max_hop(

@@ -23,7 +23,7 @@ from .framing import frame
 from .stft import istft, stft
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def median_network(n: int) -> tuple[tuple[int, int], ...]:
     """Comparator schedule that routes the median of ``n`` values to wire
     ``n // 2``.

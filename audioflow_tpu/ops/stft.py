@@ -110,7 +110,10 @@ def power(spec: jnp.ndarray) -> jnp.ndarray:
 power_fn = power  # alias (the `power=` kwarg of spectrogram shadows the name)
 
 
-_BANK_CACHE: dict = {}
+from ..utils.cache import BoundedCache
+
+# windowed-DFT bank variants, ~n_fft*(n_fft//2+1)*4 B each (8 MB at 2048)
+_BANK_CACHE = BoundedCache(maxsize=64)
 
 # Per-op precision cap for the forward DFT banks (the DESIGN.md §6b pattern,
 # same as the Pallas time-stretch DFTs): the spectrogram is MXU-compute-bound
