@@ -35,8 +35,8 @@ _log = get_logger("cli")
 
 _GRAPHS = (
     "logmel", "stft", "eq", "master", "vad", "wire", "fbank", "kws",
-    "deltafbank", "denoise", "features", "chroma", "cqt", "onset", "beats",
-    "contrast", "tonnetz",
+    "deltafbank", "denoise", "features", "chroma", "cqt", "cqtroundtrip",
+    "onset", "beats", "contrast", "tonnetz",
 )
 
 
@@ -104,6 +104,18 @@ def _build_graph(name: str, input_rate: int, cfg, streaming: bool = False):
         from .models import cqt_frontend
 
         return cqt_frontend(input_rate, a.hop)
+    if name == "cqtroundtrip":
+        # audio -> complex CQT -> audio through the inverse (hybrid past the
+        # painless cliff — ops/cqt.py::icqt); exercises the analysis and
+        # synthesis banks end to end on real material
+        from .graph import Cqt, Icqt
+        from .graph import chain as _chain
+
+        return _chain(
+            Cqt(hop=a.hop, output="complex", impl="onedot"),
+            Icqt(hop=a.hop),
+            input_rate=input_rate,
+        )
     if name == "onset":
         from .models import onset_frontend
 

@@ -1216,6 +1216,143 @@ class OnlineBeats(Node):
 
 @register_node
 @dataclass(frozen=True)
+class OnlinePyin(Node):
+    """Streaming pYIN: samples -> per-frame [f0_hz, voiced_flag,
+    voiced_prob] ``[..., F, 3]`` via FIXED-LAG Viterbi smoothing
+    (ops/pitch.py::online_pyin_step) — the causal counterpart of
+    :class:`Pyin`'s whole-sequence decode (the rhythm family's
+    :class:`OnlineBeats` precedent). Carry = hop-aligned frame overlap +
+    forward max-plus messages + a ``lag``-deep backpointer/aux ring;
+    latency = overlap frames + ``lag`` decode delay. Streamed == offline
+    exactly at that whole-unit shift; agreement with the offline Viterbi
+    outside the lag window on steady-pitch material is tested in
+    tests/test_pitch.py."""
+
+    fmin: float = 65.0
+    fmax: float = 2093.0
+    frame_length: int = 2048
+    hop: int = 256
+    lag: int = 25
+    resolution: float = 0.1
+    n_thresholds: int = 100
+    sample_rate: int | None = None
+    impl: str = "auto"
+    precision: str | None = None
+
+    domain_out = "frames"
+    streamable = True
+
+    def _plan(self):
+        if self.sample_rate is None:
+            raise AudioError(
+                "OnlinePyin.sample_rate unresolved; set input_rate on the graph"
+            )
+        return ops.make_online_pyin_plan(
+            self.sample_rate, self.fmin, self.fmax, self.frame_length,
+            self.hop, self.lag, n_thresholds=self.n_thresholds,
+            resolution=self.resolution, impl=self.impl,
+            precision=self.precision,
+        )
+
+    def _stack(self, out, dtype):
+        f0, vf, vp = out
+        return jnp.stack(
+            [f0.astype(dtype), vf.astype(dtype), vp.astype(dtype)], axis=-1
+        )
+
+    def apply(self, x):
+        f0vv = ops.pyin_online(
+            x, self._plan().sample_rate, self.fmin, self.fmax,
+            self.frame_length, self.hop, self.lag,
+            n_thresholds=self.n_thresholds, resolution=self.resolution,
+            impl=self.impl, precision=self.precision,
+        )
+        out = self._stack(f0vv, x.dtype)
+        # realign: emission at stream frame t describes frame t - lag; the
+        # offline form reports AT the described frame (OnlineBeats
+        # convention), so streaming is the declared-latency shift of this.
+        # The last `lag` frames repeat the final decode (never compared —
+        # the streamed signal ends before them).
+        tail = jnp.repeat(out[..., -1:, :], self.lag, axis=-2)
+        return jnp.concatenate([out[..., self.lag:, :], tail], axis=-2)
+
+    def chunk_multiple(self):
+        return self.hop
+
+    def out_len(self, n_in):
+        return n_in // self.hop
+
+    @property
+    def _carry_len(self) -> int:
+        return (-(-self.frame_length // self.hop) - 1) * self.hop
+
+    def latency(self, n_in):
+        return self._carry_len // self.hop + self.lag
+
+    def init_carry(self, lead_shape, n_in, dtype=jnp.float32):
+        return {
+            "buf": jnp.zeros((*lead_shape, self._carry_len), dtype),
+            "state": ops.online_pyin_init(self._plan(), lead_shape, dtype),
+        }
+
+    def step(self, carry, chunk):
+        from ..ops.framing import frame as _frame
+
+        buf = jnp.concatenate([carry["buf"], chunk], axis=-1)
+        fr = _frame(buf, self.frame_length, self.hop)
+        state, out = ops.online_pyin_step(
+            self._plan(), carry["state"], fr,
+            skip_first=self._carry_len // self.hop,
+        )
+        return (
+            {"buf": buf[..., buf.shape[-1] - self._carry_len:], "state": state},
+            self._stack(out, chunk.dtype),
+        )
+
+
+@register_node
+@dataclass(frozen=True)
+class Icqt(Node):
+    """Complex constant-Q coefficients ``[..., F, n_bins]`` (a
+    ``Cqt(output="complex")`` at the SAME parameters) -> waveform
+    (ops/cqt.py::icqt). ``method="auto"`` picks the painless diagonal dual
+    for fine hops and the hybrid LS-dual + sinusoidal-model inverse past
+    the painless cliff (the framework default hop 256 / 84 bins included).
+    Offline only: the hybrid's dual support spans ``nd/2`` samples each
+    side, so there is no constant-latency streaming form."""
+
+    hop: int = 256
+    n_bins: int = 84
+    fmin: float = ops.FMIN_C1
+    bins_per_octave: int = 12
+    window: str = "hann"
+    filter_scale: float = 1.0
+    center: bool = True
+    method: str = "auto"
+    precision: str | None = None
+    sample_rate: int | None = None
+    streamable = False
+
+    domain_in = "frames"
+    domain_out = "samples"
+
+    def apply(self, x):
+        if self.sample_rate is None:
+            raise AudioError(
+                "Icqt.sample_rate unresolved; set input_rate on the graph"
+            )
+        return ops.icqt(
+            x, self.sample_rate, self.hop, self.n_bins, self.fmin,
+            self.bins_per_octave, self.window, self.filter_scale,
+            center=self.center, precision=self.precision, method=self.method,
+        )
+
+    def out_len(self, n_in):
+        return (n_in - 1) * self.hop
+
+
+@register_node
+@dataclass(frozen=True)
 class GriffinLim(Node):
     """Magnitude frames -> waveform via fast Griffin-Lim (iterative
     ISTFT/STFT projections, ops/griffinlim.py). Whole-signal iterative —

@@ -336,22 +336,30 @@ def icqt(
     center: bool = True,
     length: int | None = None,
     precision: str | None = None,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Inverse CQT: complex coefficients ``[..., n_frames, n_bins]`` (the
     output of ``cqt(..., output="complex")`` at the SAME parameters) back to
     a waveform ``[..., T]``.
 
-    TPU formulation mirroring the forward: one dot of ``[Re | Im]`` against
-    a precomputed dual bank (see :func:`_dual_design`) plus an overlap-add —
-    both MXU/fusion friendly, batched, shard-clean on the batch axis.
+    Two synthesis methods, picked by ``method="auto"``:
 
-    Reconstruction holds for content inside the covered band
-    [fmin, top bin] when ``hop <= icqt_max_hop(...)`` (measured >= 33 dB
-    worst-bin / ~70 dB mid-band tone SNR there, gated by the
-    ``icqt_tone_snr_db`` validate row); larger hops degrade the top octaves
-    first (time aliasing — see :func:`icqt_max_hop`). The reference app has
-    no CQT at all; this completes the framework's analysis families so each
-    one has an inversion story (stft->istft, mel/mfcc->audio, cqt->icqt).
+    * ``"painless"`` (``hop <= icqt_max_hop``): one dot of ``[Re | Im]``
+      against the diagonal dual bank (:func:`_dual_design`) plus an
+      overlap-add — the classic painless-frame inverse, measured >= 33 dB
+      worst-bin / ~70 dB mid-band tone SNR (``icqt_painless_snr_db``
+      validate row).
+    * ``"hybrid"`` (any larger hop, including the framework default
+      hop=256 / 84 bins / 16 kHz where the top octaves are past the
+      painless cliff): per-coset least-squares duals for the covered low
+      bins + sinusoidal-model synthesis for the rest, crossfaded in a
+      taper band — see :func:`_hybrid_design` / :func:`_icqt_hybrid` for
+      the math and measured figures (>= ~35 dB worst bin-center tone SNR
+      at the default config, ``icqt_tone_snr_db`` validate row).
+
+    The reference app has no CQT at all; this completes the framework's
+    analysis families so each one has an inversion story (stft->istft,
+    mel/mfcc->audio, cqt->icqt).
 
     ``length``: output sample count; defaults to ``(n_frames - 1) * hop``
     (the forward's T is only known to hop resolution). ``precision``
@@ -359,14 +367,27 @@ def icqt(
     """
     from .framing import overlap_add
 
-    if hop > icqt_max_hop(sample_rate, n_bins, fmin, bins_per_octave, filter_scale):
+    if method not in ("auto", "painless", "hybrid"):
+        raise ValueError(
+            f"unknown icqt method {method!r}; known: auto, painless, hybrid"
+        )
+    max_hop = icqt_max_hop(sample_rate, n_bins, fmin, bins_per_octave, filter_scale)
+    if method == "auto":
+        method = "painless" if hop <= max_hop else "hybrid"
+    if method == "hybrid":
+        return _icqt_hybrid(
+            c, sample_rate, hop, n_bins, fmin, bins_per_octave, window,
+            filter_scale, center, length, precision,
+        )
+    if hop > max_hop:
         import warnings
 
         warnings.warn(
-            f"icqt at hop={hop} exceeds icqt_max_hop="
-            f"{icqt_max_hop(sample_rate, n_bins, fmin, bins_per_octave, filter_scale)}"
+            f"icqt method='painless' at hop={hop} exceeds icqt_max_hop="
+            f"{max_hop}"
             " — top-octave content is not recoverable at this frame spacing "
-            "(see icqt_max_hop); expect degraded reconstruction",
+            "(see icqt_max_hop); expect degraded reconstruction "
+            "(method='hybrid' handles coarse hops)",
             stacklevel=2,
         )
     nd, bank = _dual_design(
@@ -390,6 +411,317 @@ def icqt(
     if start < 0:
         pads = [(0, 0)] * (y.ndim - 1) + [(-start, 0)]
         y, start = jnp.pad(y, pads), 0
+    need = start + length
+    if y.shape[-1] < need:
+        pads = [(0, 0)] * (y.ndim - 1) + [(0, need - y.shape[-1])]
+        y = jnp.pad(y, pads)
+    return y[..., start:need]
+
+
+# hybrid designs are large (~12 MB dual bank at 84 bins / 16 kHz)
+_HYBRID_CACHE = BoundedCache(maxsize=4)
+
+
+def _window_cos_coeffs(window: str, n_terms: int = 6) -> np.ndarray:
+    """Cosine-sum coefficients ``a_j`` of the analysis window
+    (``w[n] = sum_j a_j cos(2 pi j n' / (N-1))``), fit by least squares on a
+    long instance. The hybrid inverse's sinusoid estimator needs the window
+    spectrum ``|W(u)|/W(0)`` EVERYWHERE on device; a table + ``jnp.interp``
+    is a serial-emulated TPU gather (measured 1.3 s/call at the benchmark
+    shape), while the cosine-sum form gives the closed expression
+    ``sum_j (a_j/2)(sinc(u-j) + sinc(u+j))`` — pure elementwise. Raises for
+    windows that are not cosine sums (residual > 1e-5)."""
+    n_w = 4096
+    w = get_window(window, n_w, periodic=False).astype(np.float64)
+    n = np.arange(n_w, dtype=np.float64) - (n_w - 1) / 2.0
+    basis = np.cos(2.0 * np.pi * np.arange(n_terms)[:, None] * n / (n_w - 1))
+    a, *_ = np.linalg.lstsq(basis.T, w, rcond=None)
+    resid = np.abs(basis.T @ a - w).max()
+    if resid > 1e-5:
+        raise ValueError(
+            f"icqt hybrid needs a cosine-sum analysis window; {window!r} "
+            f"fit residual {resid:.2e} (use hann/hamming/blackman)"
+        )
+    return a  # a[0] is the DC term == W(0)/N-normalized peak
+
+
+def _hybrid_design(
+    sample_rate: float,
+    hop: int,
+    n_bins: int,
+    fmin: float,
+    bins_per_octave: int,
+    window: str,
+    filter_scale: float,
+    nd_mult: int = 4,
+    lam_rel: float = 1e-3,
+):
+    """Host-side design for the hybrid (coarse-hop) inverse CQT.
+
+    **Dual branch — per-coset least squares.** At hop ``h`` the analysis is
+    shift-invariant in steps of ``h``, so on an ``nd``-point design circle
+    the frame operator block-diagonalizes over frequency cosets
+    ``{w : w ≡ mu (mod nd/h)}`` (the Walnut representation): the T-point
+    DFT of bin k's coefficient sequence at index mu is
+    ``C_k(mu) = (T/nd) sum_{w in coset} X(w) conj(Psi_k(w))``, and the
+    conjugate sequence gives a second row ``Psi_k(-w)``. Solving each
+    coset's Tikhonov-regularized min-norm least squares yields dual spectra
+    that are exact wherever the coset system has rank — including the
+    bottom bins, whose +/- frequency lobes collide under hop-rate aliasing
+    (``2f mod sr/hop`` inside the bin bandwidth, e.g. 2.9 Hz vs a ~4 Hz
+    mainlobe for C1 at hop 256/16 kHz): the diagonal painless formula
+    cannot separate the lobes (measured 15 dB) but the LS resolves them
+    through the neighbor bin's differing response (measured 36 dB).
+    ``nd_mult=4`` matters: at nd_mult=2 the 0.95 Hz design grid is too
+    coarse for that cancellation off-grid (measured 0.1 dB -> 36.3 dB at
+    nd_mult=4; scripts/proto_icqt_lowbin.py sweep).
+
+    **Crossfade.** Duals are kept for bins up to ``k_last + 5`` (k_last =
+    last bin with ``N_k >= 3*hop``) and tapered to zero over
+    ``[freqs[k_last-1], freqs[k_last+2]]``; the sinusoidal branch weights
+    by ``1 - rho(f_hat)`` so the two branches sum to one copy in the band.
+
+    Returns a dict of f32 arrays + static ints (see keys below).
+    """
+    key = (
+        sample_rate, hop, n_bins, fmin, bins_per_octave, window, filter_scale,
+        nd_mult, lam_rel,
+    )
+    if key in _HYBRID_CACHE:
+        return _HYBRID_CACHE[key]
+    freqs = cqt_frequencies(n_bins, fmin, bins_per_octave)
+    lengths = cqt_lengths(
+        sample_rate, n_bins, fmin, bins_per_octave, filter_scale
+    ).astype(np.float64)
+    painless = lengths >= 3 * hop
+    if not painless[:3].all():
+        raise ValueError(
+            f"icqt hybrid needs the lowest 3 CQT bins painless at hop={hop} "
+            f"(kernel lengths {lengths[:3].astype(int).tolist()} < 3*hop); "
+            "reduce hop or raise fmin"
+        )
+    k_last = int(np.nonzero(painless)[0].max())
+    k_dual = min(k_last + 5, n_bins)
+    f_lo = freqs[max(k_last - 1, 0)]
+    f_hi = freqs[min(k_last + 2, n_bins - 1)]
+    f0, _groups, onedot = _design(
+        sample_rate, hop, n_bins, fmin, bins_per_octave, window, filter_scale
+    )
+    psi = (
+        onedot[:, :k_dual].T.astype(np.float64)
+        - 1j * onedot[:, n_bins : n_bins + k_dual].T.astype(np.float64)
+    )
+    nd = f0 * nd_mult
+    t_cosets = nd // hop
+    psi_p = np.zeros((k_dual, nd), complex)
+    off = nd // 2 - f0 // 2
+    psi_p[:, off : off + f0] = psi
+    ph = np.fft.fft(psi_p, axis=1)
+    d_hat = np.zeros((k_dual, nd), complex)
+    e_hat = np.zeros((k_dual, nd), complex)
+    scale = t_cosets / nd  # C_k(mu) carries a 1/hop vs the coset sum
+    lam = lam_rel * (np.abs(ph).max() * scale) ** 2
+    for mu in range(t_cosets):
+        w_idx = (mu + t_cosets * np.arange(hop)) % nd
+        a1 = np.conj(ph[:, w_idx])
+        a2 = ph[:, (nd - w_idx) % nd]  # conj-coefficient rows
+        a = scale * np.concatenate([a1, a2], axis=0)  # [2K, hop]
+        g = a @ a.conj().T
+        g.flat[:: g.shape[0] + 1] += lam
+        b = np.linalg.solve(g, a).conj().T  # min-norm LS: A^H (AA^H+lam)^-1
+        d_hat[:, w_idx] += b[:, :k_dual].T
+        e_hat[:, w_idx] += b[:, k_dual:].T
+    # realness: e_hat == reflected-conj of d_hat (checked to ~1e-13 in the
+    # prototype); average so y = sum_k 2 Re{c_k d_k} is exactly real-paired
+    refl = np.conj(e_hat[:, (nd - np.arange(nd)) % nd])
+    d_sym = 0.5 * (d_hat + refl)
+    fgrid = np.abs(np.fft.fftfreq(nd, d=1.0 / sample_rate))
+    t = np.clip(
+        (np.log(np.maximum(fgrid, 1e-9)) - np.log(f_lo))
+        / (np.log(f_hi) - np.log(f_lo)),
+        0.0,
+        1.0,
+    )
+    d_sym *= (0.5 * (1.0 + np.cos(np.pi * t)))[None, :]
+    d = np.fft.ifft(d_sym, axis=1)
+    bank = np.concatenate([2.0 * d.real, -2.0 * d.imag], axis=0)  # [2K, nd]
+    # conv kernel: out hop-block s, in-feature f, spatial tap j (reversed):
+    # y_block[s, r] = sum_q ri[s-q] @ bank[:, q*hop+r]  ->  rhs[r, f, j] =
+    # bank[f, (Tb-1-j)*hop + r]
+    kern = bank.reshape(2 * k_dual, t_cosets, hop)[:, ::-1, :]
+    kern = np.ascontiguousarray(np.transpose(kern, (2, 0, 1)))  # [hop, 2K, Tb]
+    wcos = _window_cos_coeffs(window)
+    n_cand = max(
+        4, int(np.ceil(freqs[-1] * (2.0 ** (1.0 / (2 * bins_per_octave)) - 1.0)
+                       / (sample_rate / hop))) + 1
+    )
+    out = dict(
+        nd=nd,
+        f0=f0,
+        k_dual=k_dual,
+        k_min=max(k_last - 2, 0),
+        n_cand=n_cand,
+        f_lo=float(f_lo),
+        f_hi=float(f_hi),
+        kern=kern.astype(np.float32),
+        freqs=freqs.astype(np.float32),
+        lengths=lengths.astype(np.float32),
+        wcos=wcos.astype(np.float32),
+    )
+    _HYBRID_CACHE[key] = out
+    return out
+
+
+def _icqt_hybrid(
+    c: jnp.ndarray,
+    sample_rate: float,
+    hop: int,
+    n_bins: int,
+    fmin: float,
+    bins_per_octave: int,
+    window: str,
+    filter_scale: float,
+    center: bool,
+    length: int | None,
+    precision: str | None,
+    score_gate: float = 0.5,
+    mag_floor: float = 1e-3,
+) -> jnp.ndarray:
+    """Hybrid inverse CQT for coarse hops (see :func:`_hybrid_design`).
+
+    Device side, all static shapes:
+
+    * **dual branch**: the overlap-add of ``nd``-long dual frames is a
+      ``Tb = nd/hop``-tap feature conv over the coefficient sequence
+      (``lax.conv_general_dilated``, [2K] -> [hop] features) — no
+      [T, nd] frame tensor is ever materialized;
+    * **sin branch**: per (frame, bin >= k_min) local magnitude peaks,
+      frequency from one-hop phase advance with the harmonic number picked
+      by candidate scoring (predicted-vs-observed log-magnitude ratios to
+      the two neighbor bins through the window-spectrum table — spurious
+      sidelobe peaks score badly and are gated out), amplitude calibrated
+      by the same table, synthesized as hann bursts of ``2*hop`` OLA'd at
+      50% (two-slab add).
+
+    Measured at the framework default (hop 256 / 84 bins / 16 kHz, f64
+    prototype): >= ~35 dB tone SNR at every bin center, 38-78 dB at
+    quarter/half-bin offsets, 61 dB two-tone; the on-chip figure is gated
+    by the ``icqt_tone_snr_db`` validate row. Steady-state figures — edge
+    transients span the dual support (``nd/2`` samples each side).
+    """
+    from ._mm import _PRECISIONS
+
+    if c.shape[-1] != n_bins:
+        raise ValueError(
+            f"expected [..., frames, {n_bins}] coefficients, got {c.shape}"
+        )
+    dz = _hybrid_design(
+        sample_rate, hop, n_bins, fmin, bins_per_octave, window, filter_scale
+    )
+    nd, f0, k_dual, k_min = dz["nd"], dz["f0"], dz["k_dual"], dz["k_min"]
+    n_frames = c.shape[-2]
+    if length is None:
+        length = (n_frames - 1) * hop
+    prec = _PRECISIONS[precision or DFT_PRECISION_DEFAULT]
+    re = jnp.real(c).astype(jnp.float32)
+    im = jnp.imag(c).astype(jnp.float32)
+    lead = re.shape[:-2]
+    # ---- dual branch: Tb-tap conv over the coefficient sequence
+    ri = jnp.concatenate([re[..., :k_dual], im[..., :k_dual]], axis=-1)
+    t_cosets = nd // hop
+    lhs = ri.reshape(-1, n_frames, 2 * k_dual).transpose(0, 2, 1)  # [B, 2K, T]
+    y_blk = jax.lax.conv_general_dilated(
+        lhs,
+        jnp.asarray(dz["kern"]),  # [hop(out), 2K(in), Tb(spatial)]
+        window_strides=(1,),
+        padding=[(t_cosets - 1, t_cosets - 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=prec,
+    )  # [B, hop, T + Tb - 1]
+    y = y_blk.transpose(0, 2, 1).reshape(lead + (-1,))  # OLA coords, len (T-1)h+nd
+    # ---- sin branch
+    mag = jnp.sqrt(re * re + im * im)
+    gmax = jnp.max(mag, axis=(-2, -1), keepdims=True)
+    neg = jnp.full(mag.shape[:-1] + (1,), -1.0, mag.dtype)
+    padm = jnp.concatenate([neg, mag, neg], axis=-1)
+    is_peak = (
+        (mag > padm[..., :-2])
+        & (mag >= padm[..., 2:])
+        & (mag > mag_floor * gmax)
+        & (jnp.arange(n_bins) >= k_min)
+    )
+    lm = jnp.log(jnp.maximum(mag, 1e-12))
+    # one-hop phase advance in cycles/frame (real arithmetic; c_t conj(c_t-1))
+    if n_frames > 1:
+        pr = re[..., 1:, :] * re[..., :-1, :] + im[..., 1:, :] * im[..., :-1, :]
+        pi = im[..., 1:, :] * re[..., :-1, :] - re[..., 1:, :] * im[..., :-1, :]
+        dphi = jnp.arctan2(pi, pr) / (2.0 * np.pi)
+        dphi = jnp.concatenate([dphi, dphi[..., -1:, :]], axis=-2)
+    else:
+        dphi = jnp.zeros_like(mag)
+    freqs = jnp.asarray(dz["freqs"])
+    lens = jnp.asarray(dz["lengths"])
+    # closed-form window spectrum |W(u)|/W(0) from the cosine-sum fit —
+    # elementwise sincs, NO table gather (jnp.interp here measured 1.3 s)
+    wcos = dz["wcos"]
+
+    def h_of(u):
+        acc = 0.0
+        for j, aj in enumerate(wcos):
+            acc = acc + (float(aj) / (2.0 * float(wcos[0]))) * (
+                jnp.sinc(u - j) + jnp.sinc(u + j)
+            )
+        return jnp.maximum(jnp.abs(acc), 1e-7)
+
+    fr_rate = sample_rate / hop
+    m0 = jnp.round(freqs / fr_rate - dphi)
+    offs = jnp.arange(-dz["n_cand"], dz["n_cand"] + 1, dtype=jnp.float32)
+    f_cand = (m0[..., None] + offs + dphi[..., None]) * fr_rate  # [.., T, K, C]
+    ks = np.arange(n_bins)
+    k_lo, k_up = np.maximum(ks - 1, 0), np.minimum(ks + 1, n_bins - 1)
+
+    def l_h(fc, idx):
+        u = (fc - freqs[idx][:, None]) * lens[idx][:, None] / sample_rate
+        return jnp.log(h_of(u))
+
+    r_pred_lo = l_h(f_cand, ks) - l_h(f_cand, k_lo)
+    r_pred_up = l_h(f_cand, ks) - l_h(f_cand, k_up)
+    r_obs_lo = (lm - lm[..., k_lo])[..., None]
+    r_obs_up = (lm - lm[..., k_up])[..., None]
+    has_lo = jnp.asarray((ks > 0)[:, None], jnp.float32)
+    has_up = jnp.asarray((ks < n_bins - 1)[:, None], jnp.float32)
+    score = (
+        has_lo * (r_pred_lo - r_obs_lo) ** 2
+        + has_up * (r_pred_up - r_obs_up) ** 2
+    )
+    s_best = jnp.min(score, axis=-1)
+    # first-minimum one-hot select (take_along_axis is a serial TPU gather)
+    hit = score == s_best[..., None]
+    hit = hit & (jnp.cumsum(hit, axis=-1) == 1)
+    f_hat = jnp.sum(jnp.where(hit, f_cand, 0.0), axis=-1)
+    f_hat = jnp.clip(f_hat, 1.0, sample_rate / 2 - 1.0)
+    u_best = (f_hat - freqs) * lens / sample_rate
+    amp = mag / jnp.maximum(h_of(u_best), 0.1)
+    lf_lo, lf_hi = np.log(dz["f_lo"]), np.log(dz["f_hi"])
+    tt = jnp.clip((jnp.log(f_hat) - lf_lo) / (lf_hi - lf_lo), 0.0, 1.0)
+    rho = 0.5 * (1.0 + jnp.cos(np.pi * tt))
+    wgt = (1.0 - rho) * (s_best < score_gate) * is_peak * amp
+    phase0 = jnp.arctan2(im, re)
+    n_rel = jnp.arange(2 * hop, dtype=jnp.float32) - hop
+    win = 0.5 - 0.5 * jnp.cos(2.0 * np.pi * jnp.arange(2 * hop) / (2 * hop))
+    phase = (
+        (2.0 * np.pi / sample_rate) * f_hat[..., None] * n_rel + phase0[..., None]
+    )  # [.., T, K, 2h]  (XLA fuses the reduction below; never materialized)
+    burst = jnp.sum(wgt[..., None] * jnp.cos(phase), axis=-2) * win  # [.., T, 2h]
+    # 50% OLA: true-coords block s = burst[s][h:] + burst[s+1][:h]
+    half1, half2 = burst[..., :hop], burst[..., hop:]
+    half1_next = jnp.concatenate(
+        [half1[..., 1:, :], jnp.zeros_like(half1[..., :1, :])], axis=-2
+    )
+    y_sin = (half2 + half1_next).reshape(lead + (n_frames * hop,))
+    # sin true coords start at 0 == OLA coord nd//2 (a hop multiple)
+    y = y.at[..., nd // 2 : nd // 2 + n_frames * hop].add(y_sin)
+    start = nd // 2 - (0 if center else f0 // 2)
     need = start + length
     if y.shape[-1] < need:
         pads = [(0, 0)] * (y.ndim - 1) + [(0, need - y.shape[-1])]

@@ -90,6 +90,8 @@ class WavSink(Sink):
         from ..io.wav import write_wav
 
         out = self._acc.result()
+        if getattr(out, "ndim", 1) == 2 and out.shape[0] == 1:
+            out = out[0]  # single-item batch -> mono wav, not 1-sample frames
         try:
             self.path.parent.mkdir(parents=True, exist_ok=True)
             write_wav(self.path, out, self.sample_rate, self.bits)

@@ -216,12 +216,12 @@ def run_validation(seed: int = 0) -> dict:
         float(abs(mid[k440] - 1.0)) if int(np.argmax(mid)) == k440 else 1.0
     )
 
-    # icqt: worst-bin tone round-trip SNR at a painless config (hop 48 <=
-    # icqt_max_hop 54 for 48 bins from 110 Hz at 16 kHz) — gates the dual
-    # bank design + synthesis matmul + OLA on chip at shipped precision.
-    # Reported NEGATED (so the row is "smaller is better" like the rest):
-    # row = -min_snr_db, budget -30 (i.e. >= 30 dB). Design study: 38.2 dB
-    # worst (bin 0) in float64; f32/'high' on chip costs < 1 dB.
+    # icqt painless row: worst-bin tone round-trip SNR at a painless config
+    # (hop 48 <= icqt_max_hop 54 for 48 bins from 110 Hz at 16 kHz) — gates
+    # the diagonal dual bank design + synthesis matmul + OLA on chip at
+    # shipped precision. Reported NEGATED (so the row is "smaller is
+    # better" like the rest): row = -min_snr_db, budget -30 (>= 30 dB).
+    # Design study: 38.2 dB worst (bin 0) in float64; f32/'high' < 1 dB.
     import jax as _jx
 
     icqt_freqs = ops.cqt_frequencies(48, 110.0)
@@ -242,7 +242,37 @@ def run_validation(seed: int = 0) -> dict:
         snrs.append(
             10.0 * np.log10((xt[lo:hi] ** 2).sum() / max((e ** 2).sum(), 1e-30))
         )
-    report["icqt_tone_snr_db"] = -float(min(snrs))
+    report["icqt_painless_snr_db"] = -float(min(snrs))
+
+    # icqt at the FRAMEWORK DEFAULTS (hop 256 / 84 bins / C1 fmin / 16 kHz
+    # — 11x past the painless cliff; the hybrid LS-dual + sinusoid inverse,
+    # ops/cqt.py::_icqt_hybrid): worst tone SNR over the structurally worst
+    # bins — the hop-alias-colliding bottom pair (0, 1), a mid painless bin
+    # (21), the full crossfade band (41-44), a mid sin-branch bin (63), and
+    # the top edge pair (82, 83). The full 84-bin sweep lives in
+    # BENCHMARKS.md (scripts/chip_r4_icqt_sweep.py); this row samples every
+    # failure mode of it. Same negated convention, budget -30 (>= 30 dB);
+    # f64 prototype measured >= ~36 dB worst.
+    hyb_bins = (0, 1, 21, 41, 42, 43, 44, 63, 82, 83)
+    hyb_freqs = ops.cqt_frequencies(84)
+    t_hyb = 64000  # 4 s: the LS dual support is nd/2 = 16896 per edge
+    nv = np.arange(t_hyb)
+    xb_h = np.stack(
+        [np.sin(2 * np.pi * hyb_freqs[k] * nv / 16000.0) for k in hyb_bins]
+    ).astype(np.float32)
+    icqt_hyb = _jx.jit(
+        lambda z: ops.icqt(
+            ops.cqt(z, 16000, 256, 84, output="complex"),
+            16000, 256, 84, length=t_hyb,
+        )
+    )
+    yb_h = np.asarray(icqt_hyb(jnp.asarray(xb_h)))
+    lo, hi = 17000, t_hyb - 17000
+    e_h = yb_h[:, lo:hi] - xb_h[:, lo:hi]
+    snr_h = 10.0 * np.log10(
+        (xb_h[:, lo:hi] ** 2).sum(axis=1) / np.maximum((e_h ** 2).sum(axis=1), 1e-30)
+    )
+    report["icqt_tone_snr_db"] = -float(snr_h.min())
 
     # matmul-ACF banks vs the FFT correlation (the shipped TPU default for
     # YIN/tempo rides these banks at 'high'; identical math, so the row is
@@ -330,6 +360,7 @@ def run_validation(seed: int = 0) -> dict:
             "loudness_997_anchor_lu",
             "yin_220_rel",
             "cqt_440_mag_err",
+            "icqt_painless_snr_db",
             "icqt_tone_snr_db",
             "acf_matmul_rel",
             "pyin_220_rel",
@@ -347,6 +378,7 @@ def run_validation(seed: int = 0) -> dict:
         and report["loudness_997_anchor_lu"] < 1e-2
         and report["yin_220_rel"] < 5e-3
         and report["cqt_440_mag_err"] < 5e-2
+        and report["icqt_painless_snr_db"] < -30.0
         and report["icqt_tone_snr_db"] < -30.0
         and report["acf_matmul_rel"] < 1e-3
         and report["pyin_220_rel"] < 5e-3

@@ -6,7 +6,7 @@ import pytest
 import jax.numpy as jnp
 
 from audioflow_tpu.cli import main as cli_main
-from audioflow_tpu.io import write_wav
+from audioflow_tpu.io import read_wav, write_wav
 from audioflow_tpu.models import (
     TrainableFrontend,
     log_mel_frontend,
@@ -328,6 +328,21 @@ def test_cli_music_graphs(tmp_path, capsys):
     q = np.load(tmp_path / "q.npy")
     assert q.shape[-1] == 84
     assert q[0, 4:-4].mean(axis=0).argmax() == 45
+    # cqtroundtrip: audio -> complex CQT -> hybrid inverse -> audio; the
+    # 440 Hz tone survives mid-signal (edges span the LS dual support)
+    t4 = np.arange(4 * 16000) / 16000
+    p4 = tmp_path / "t4.wav"
+    write_wav(p4, (0.4 * np.sin(2 * np.pi * 440.0 * t4)).astype(np.float32), 16000)
+    out_rt = tmp_path / "rt.wav"
+    assert cli_main(["run", "-i", str(p4), "-g", "cqtroundtrip", "-o", str(out_rt)]) == 0
+    capsys.readouterr()
+    y_rt, sr_rt = read_wav(out_rt)
+    assert sr_rt == 16000
+    xs = (0.4 * np.sin(2 * np.pi * 440.0 * t4)).astype(np.float32)
+    lo, hi = 17000, min(len(y_rt), len(xs)) - 17000
+    err = y_rt[lo:hi] - xs[lo:hi]
+    snr = 10 * np.log10((xs[lo:hi] ** 2).sum() / (err ** 2).sum())
+    assert snr >= 25.0, snr
     # contrast + tonnetz shapes
     assert cli_main(["run", "-i", str(p), "-g", "contrast", "-o", str(tmp_path / "sc.npy")]) == 0
     capsys.readouterr()

@@ -136,6 +136,25 @@ def test_extreme_ratio_round_trips(rng, rates):
 
 # ---------------------------------------------------- rubato seam fixtures
 
+def _rubato_fixture_path():
+    """Path to the rubato seam golden npz, regenerating it from the
+    deterministic serial-oracle generator if absent (.gitignore excludes
+    *.npz, so a fresh checkout has only the generator)."""
+    import os
+    import sys
+
+    golden = os.path.join(os.path.dirname(__file__), "golden")
+    path = os.path.join(golden, "rubato_seams.npz")
+    if not os.path.exists(path):
+        sys.path.insert(0, golden)
+        try:
+            from gen_rubato_seams import generate
+        finally:
+            sys.path.pop(0)
+        np.savez_compressed(path, **generate())
+    return path
+
+
 def test_streaming_cubic_matches_rubato_seam_fixtures():
     """VERDICT r2 item 9: the streaming cubic mode vs checked-in golden
     vectors from an independent serial port of rubato FastFixedIn's
@@ -157,8 +176,7 @@ def test_streaming_cubic_matches_rubato_seam_fixtures():
         stream_chunk_multiple,
     )
 
-    path = os.path.join(os.path.dirname(__file__), "golden", "rubato_seams.npz")
-    data = np.load(path)
+    data = np.load(_rubato_fixture_path())
     for in_rate, out_rate in [(48000, 16000), (44100, 16000), (16000, 24000)]:
         key = f"{in_rate}_{out_rate}"
         x = data[f"x_{key}"]
@@ -193,8 +211,7 @@ def test_rubato_seam_fixture_generator_is_deterministic():
         from gen_rubato_seams import generate
     finally:
         sys.path.pop(0)
-    path = os.path.join(os.path.dirname(__file__), "golden", "rubato_seams.npz")
-    data = np.load(path)
+    data = np.load(_rubato_fixture_path())
     fresh = generate()
     for k in fresh:
         np.testing.assert_array_equal(np.asarray(data[k]), np.asarray(fresh[k]), err_msg=k)
