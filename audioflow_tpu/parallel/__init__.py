@@ -34,6 +34,9 @@ from ..errors import AudioError, ErrorCode
 from .sp import (
     sequence_sharded_fir,
     sequence_sharded_frontend,
+    sequence_sharded_iir,
+    sequence_sharded_limiter,
+    sequence_sharded_master,
     sequence_sharded_resample,
     sequence_sharded_spectrogram,
 )

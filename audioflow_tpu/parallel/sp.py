@@ -23,6 +23,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "sequence_sharded_fir",
     "sequence_sharded_frontend",
+    "sequence_sharded_iir",
+    "sequence_sharded_limiter",
+    "sequence_sharded_master",
     "sequence_sharded_resample",
     "sequence_sharded_spectrogram",
 ]
@@ -242,6 +245,187 @@ def sequence_sharded_fir(
 
     fn = jax.shard_map(local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, axis))
     return fn(jax.device_put(x, NamedSharding(mesh, P(None, axis))))
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _iir_shard_aux(biquads: tuple, block: int, local_t: int):
+    """Host-side pieces for the time-sharded IIR: the cascade plan, the
+    shard-length state-transition ``M = (A^L)^T`` (the cross-shard carry
+    map), and the truncated observability matrix ``Q[n] = C A^n`` (the
+    initial-state output response, cut where it decays below 1e-10 — a few
+    thousand rows for any stable EQ). All float64, cast to f32."""
+    from ..ops.biquad import cascade_state_space, make_iir_plan
+
+    plan = make_iir_plan(biquads, block)
+    a_mat, b_vec, c_vec, _d = cascade_state_space(biquads)
+    m = np.linalg.matrix_power(a_mat, local_t)
+    rows, q = [], c_vec.astype(np.float64)
+    while len(rows) < local_t:
+        rows.append(q)
+        if np.abs(q).max() < 1e-10:
+            break
+        q = q @ a_mat
+    q_mat = np.stack(rows)  # [n_eff, order]
+    return plan, m.T.astype(np.float32), q_mat.astype(np.float32)
+
+
+def sequence_sharded_iir(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    biquads,
+    block: int = 128,
+    axis: str = "data",
+):
+    """Biquad-cascade IIR of ``x [batch, T]`` with T sharded over
+    ``mesh[axis]`` (SURVEY §7.3 #1 across chips; VERDICT r3 item 4).
+
+    An IIR has no finite halo — every output sample depends on ALL earlier
+    input — so the finite-halo ppermute pattern of the other SP ops cannot
+    apply. But the streaming carry is a state vector evolving AFFINELY:
+    ``s_out = s_in @ (A^L)^T + v`` where ``v`` is the shard's local
+    response from rest. Affine maps compose associatively, so:
+
+    1. every shard runs the blocked state-space filter locally from rest
+       (``ops.biquad.iir_apply``, zi=0) -> local output ``y0`` + final
+       state ``v`` ``[batch, order]``;
+    2. ONE ``all_gather`` of the tiny states (``n_dev * batch * order``
+       floats — e.g. 8*2*12 = 192) and an unrolled n_dev-step affine
+       prefix give each shard its exact incoming state ``s_in``;
+    3. the output correction is a single matmul: ``y = y0 + s_in @ Q^T``
+       with ``Q[n] = C A^n`` truncated where the response decays below
+       f32 significance (exact by linearity: output = zero-state response
+       + zero-input response).
+
+    Collective footprint: exactly one small all-gather — the big signal
+    never moves. Equals the unsharded :func:`~audioflow_tpu.ops.biquad_chain`
+    to f32 reassociation (~1e-6, tested < 1e-5).
+    """
+    from ..errors import AudioError, ErrorCode
+    from ..ops._mm import mm
+    from ..ops.biquad import iir_apply
+
+    _validate_2d(x, "sequence_sharded_iir")
+    n_dev = mesh.shape[axis]
+    t = x.shape[-1]
+    if t % n_dev:
+        raise AudioError(
+            f"T = {t} must divide over {n_dev} devices",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+    local_t = t // n_dev
+    plan, m_t, q_mat = _iir_shard_aux(tuple(biquads), block, local_t)
+    n_eff = q_mat.shape[0]
+
+    def local(xl):
+        # zero initial state, marked device-varying for shard_map's scan
+        zi0 = jax.lax.pcast(
+            jnp.zeros((*xl.shape[:-1], plan.order), xl.dtype),
+            (axis,), to="varying",
+        )
+        y0, v = iir_apply(xl, plan, zi=zi0)  # zero-state local pass
+        vg = jax.lax.all_gather(v, axis)  # [n_dev, batch, order] (tiny)
+        m_dev = jnp.asarray(m_t, v.dtype)
+        s = jnp.zeros_like(v)
+        prefixes = [s]
+        for j in range(n_dev - 1):  # static unroll; s_in[i+1] = s_in[i]M + v[i]
+            s = mm(s, m_dev) + vg[j]
+            prefixes.append(s)
+        s_in = jax.lax.dynamic_index_in_dim(
+            jnp.stack(prefixes), jax.lax.axis_index(axis), 0, keepdims=False
+        )
+        corr = mm(s_in, jnp.asarray(q_mat, v.dtype).T)  # [batch, n_eff]
+        return y0.at[..., :n_eff].add(corr.astype(y0.dtype))
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, axis))
+    return fn(jax.device_put(x, NamedSharding(mesh, P(None, axis))))
+
+
+def sequence_sharded_limiter(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    threshold_db: float = -1.0,
+    release_ms: float = 50.0,
+    sample_rate: int = 16000,
+    axis: str = "data",
+):
+    """Peak limiter of ``x [batch, T]`` with T sharded over ``mesh[axis]``.
+
+    The instant-attack/exponential-release envelope
+    ``e[n] = max(|x[n]|, r e[n-1])`` is max-plus AFFINE in log space
+    (``le -> max(le + L log r, m_local)``), so the cross-shard carry
+    composes exactly like :func:`sequence_sharded_iir`'s linear state:
+    local log-domain cummax from rest, one all-gather of the scalar
+    per-shard carries, an unrolled max-plus prefix, and an elementwise
+    correction ``le[n] = max(le0[n], le_in + (n+1) log r)`` (the incoming
+    envelope decays through the shard — the max-plus analog of ``C A^n``).
+    Matches the unsharded :func:`~audioflow_tpu.ops.limiter` to f32
+    log/exp rounding.
+    """
+    from ..errors import AudioError, ErrorCode
+
+    _validate_2d(x, "sequence_sharded_limiter")
+    n_dev = mesh.shape[axis]
+    t = x.shape[-1]
+    if t % n_dev:
+        raise AudioError(
+            f"T = {t} must divide over {n_dev} devices",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+    local_t = t // n_dev
+    thresh = 10.0 ** (threshold_db / 20.0)
+    log_r = float(np.log(np.exp(-1.0 / (release_ms * 1e-3 * sample_rate))))
+    neg = jnp.float32(-1e30)
+
+    def local(xl):
+        labs = jnp.log(jnp.maximum(jnp.abs(xl), 1e-30))
+        ramp = jnp.arange(local_t, dtype=xl.dtype) * (-log_r)
+        le0 = jax.lax.cummax(labs + ramp, axis=xl.ndim - 1) - ramp
+        m_i = le0[..., -1]  # per-shard max-plus carry [batch]
+        mg = jax.lax.all_gather(m_i, axis)  # [n_dev, batch] (tiny)
+        le = jnp.full_like(m_i, neg)
+        prefixes = [le]
+        for j in range(n_dev - 1):  # le_in[i+1] = max(le_in[i] + L lr, m[i])
+            le = jnp.maximum(le + local_t * log_r, mg[j])
+            prefixes.append(le)
+        le_in = jax.lax.dynamic_index_in_dim(
+            jnp.stack(prefixes), jax.lax.axis_index(axis), 0, keepdims=False
+        )
+        decay = le_in[..., None] + (
+            jnp.arange(1, local_t + 1, dtype=xl.dtype) * log_r
+        )
+        env = jnp.exp(jnp.maximum(le0, decay))
+        g = jnp.minimum(1.0, thresh / jnp.maximum(env, 1e-30))
+        return xl * g
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, axis))
+    return fn(jax.device_put(x, NamedSharding(mesh, P(None, axis))))
+
+
+def sequence_sharded_master(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    sample_rate: int = 16000,
+    bands: tuple | None = None,
+    limiter_db: float = -1.0,
+    release_ms: float = 50.0,
+    axis: str = "data",
+):
+    """Benchmark config 3 (high-pass + 5-band EQ + limiter,
+    ``models.master_chain_graph``) on ONE long signal, time-sharded end to
+    end: the EQ's linear state and the limiter's max-plus envelope both
+    ride the affine-carry composition — two tiny all-gathers total, the
+    signal itself never leaves its shard."""
+    if bands is None:
+        from ..models.pipelines import eq_bands_default  # lazy: no cycle
+
+        bands = eq_bands_default(sample_rate)
+    y = sequence_sharded_iir(x, mesh, bands, axis=axis)
+    return sequence_sharded_limiter(
+        y, mesh, limiter_db, release_ms, sample_rate, axis=axis
+    )
 
 
 def sequence_sharded_frontend(
