@@ -516,7 +516,10 @@ def cmd_pitch(args) -> int:
     ``--method yin`` (default) thresholds the CMND aperiodicity;
     ``--method pyin`` runs the probabilistic tracker with HMM smoothing
     (ops/pitch.py::pyin) — slower, but robust to octave jumps, and the
-    voicing decision is decoded, not thresholded."""
+    voicing decision is decoded, not thresholded. ``--method pyin-online``
+    runs the fixed-lag streaming tracker (ops/pitch.py::pyin_online, the
+    :class:`OnlinePyin` node's algorithm) — what a live session would
+    emit, 25 frames of decode delay."""
     import jax.numpy as jnp
 
     from . import ops
@@ -525,11 +528,20 @@ def cmd_pitch(args) -> int:
     data, rate = read_audio(args.input)
     if data.ndim == 2:
         data = data.mean(axis=1)
-    if args.method == "pyin":
-        f0, vflag, vprob = ops.pyin(
-            jnp.asarray(data, jnp.float32), rate, args.fmin, args.fmax,
-            args.frame_length, args.hop,
-        )
+    if args.method in ("pyin", "pyin-online"):
+        if args.method == "pyin-online":
+            lag = 25
+            f0, vflag, vprob = ops.pyin_online(
+                jnp.asarray(data, jnp.float32), rate, args.fmin, args.fmax,
+                args.frame_length, args.hop, lag,
+            )
+            # emission j decodes frame j - lag: report on the frame timeline
+            f0, vflag, vprob = f0[lag:], vflag[lag:], vprob[lag:]
+        else:
+            f0, vflag, vprob = ops.pyin(
+                jnp.asarray(data, jnp.float32), rate, args.fmin, args.fmax,
+                args.frame_length, args.hop,
+            )
         f0 = np.asarray(f0)
         voiced = np.asarray(vflag)
         ap = 1.0 - np.asarray(vprob)  # report as aperiodicity-like score
@@ -854,7 +866,7 @@ def main(argv: list[str] | None = None) -> int:
     pt = sub.add_parser("pitch", help="YIN/pYIN f0 track of an audio file")
     pt.add_argument("-i", "--input", required=True)
     pt.add_argument(
-        "--method", choices=("yin", "pyin"), default="yin",
+        "--method", choices=("yin", "pyin", "pyin-online"), default="yin",
         help="yin: CMND + aperiodicity threshold; pyin: probabilistic "
         "candidates + HMM Viterbi voicing/pitch decode",
     )

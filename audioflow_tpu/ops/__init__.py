@@ -129,10 +129,15 @@ from .mel import (
 from .phase_vocoder import phase_vocoder, pitch_shift, time_stretch
 from .pitch import (
     ACF_PRECISION_DEFAULT,
+    OnlinePyinPlan,
     cmnd_frames,
+    make_online_pyin_plan,
+    online_pyin_init,
+    online_pyin_step,
     piptrack,
     pyin,
     pyin_frames,
+    pyin_online,
     yin,
     yin_frames,
     yin_voicing,

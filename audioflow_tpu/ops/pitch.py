@@ -20,6 +20,7 @@ agreement of 0.004 Hz, so ``"auto"`` picks matmul on TPU and FFT elsewhere.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np
@@ -31,6 +32,17 @@ from ._mm import mm
 from .framing import frame
 
 ACF_PRECISION_DEFAULT = "high"  # bf16x3: 1e-5-scale acf error, 0.004 Hz p99 f0
+
+# Lag-axis scan unroll: the candidate scans carry [.., F, M] (and the
+# histogram scan [.., F, n_bins]) through HBM once per scan step; unrolling
+# fuses UNROLL steps into one XLA loop body so the carry round-trips once
+# per UNROLL lags instead of per lag. Results identical per step (XLA may
+# re-fuse across the unrolled chain: <= 1 ulp on voiced_prob). Measured
+# (scripts/chip_r4_pyin.py, with the multiplicative rank-weight carry):
+# pyin res-0.5/32-thr 129.7 -> 51.8 ms; librosa defaults only 87.1 -> 84.8
+# ms — there the banded Viterbi + [F, 602] histogram dominate, see
+# docs/ROADMAP.md.
+_CAND_UNROLL = 8
 
 
 @lru_cache(maxsize=32)
@@ -346,10 +358,146 @@ def pyin_frames(
     ``hop`` is the analysis hop in samples — it scales the per-frame pitch
     transition width; pass the hop the frames were cut with.
     """
-    if not 0.0 < resolution <= 12.0:
-        raise ValueError(f"resolution (semitones/bin) must be in (0, 12], got {resolution}")
     if not 0.0 < switch_prob < 1.0:
         raise ValueError(f"switch_prob must be in (0, 1), got {switch_prob}")
+    (obs_v, voiced_prob, trough, prob, f0_lag, bins, n_bins, nbps) = (
+        _pyin_observations(
+            frames, sample_rate, fmin, fmax, win=win,
+            n_thresholds=n_thresholds, beta_parameters=beta_parameters,
+            boltzmann_parameter=boltzmann_parameter, resolution=resolution,
+            no_trough_prob=no_trough_prob, impl=impl, precision=precision,
+        )
+    )
+    dtype = obs_v.dtype
+    log_obs_v, log_obs_u = _pyin_log_obs(obs_v, voiced_prob, n_bins)
+
+    # --- banded two-track Viterbi ---
+    # Forward pass records per-state backpointers (offset + track picks);
+    # the backtrace is width-1 take_along_axis per step. The delta-emitting
+    # variant (forward stores the max-plus messages, the backtrace recomputes
+    # the ONE visited state's argmax from a 139-wide window gather) was
+    # measured and REJECTED: TPU lowers the [B, 2*half+1] window gather
+    # serially and the whole tracker went 87 -> 173 ms
+    # (scripts/chip_r4_sweep.py, /tmp/chip_r4_sweep.jsonl pyin_full first
+    # entry). Keep the wide work in the forward band, keep gathers width-1.
+    from .sequence import max_plus_band_argmax
+
+    half, log_kernel, log_stay, log_switch = _pyin_hmm_consts(
+        sample_rate, hop, nbps, max_transition_rate, switch_prob, dtype
+    )
+
+    ov = jnp.moveaxis(log_obs_v, -2, 0)  # [F, ..., N]
+    ou = jnp.moveaxis(log_obs_u, -2, 0)
+    log_init = jnp.asarray(-np.log(2 * n_bins), dtype)
+    dv0 = log_init + ov[0]
+    du0 = log_init + ou[0]
+
+    def vit_step(carry, obs_t):
+        dv, du = carry
+        lv, lu = obs_t
+        bv, av = max_plus_band_argmax(dv, log_kernel)
+        bu, au = max_plus_band_argmax(du, log_kernel)
+        sv, su = bv + log_stay, bu + log_switch
+        pick_v = su > sv  # source is the unvoiced track
+        new_v = lv + jnp.where(pick_v, su, sv)
+        off_v = jnp.where(pick_v, au, av)
+        sv2, su2 = bv + log_switch, bu + log_stay
+        pick_u = su2 > sv2
+        new_u = lu + jnp.where(pick_u, su2, sv2)
+        off_u = jnp.where(pick_u, au, av)
+        return (new_v, new_u), (off_v, pick_v, off_u, pick_u)
+
+    (dv, du), bps = jax.lax.scan(vit_step, (dv0, du0), (ov[1:], ou[1:]))
+    both = jnp.concatenate([dv, du], axis=-1)
+    last = jnp.argmax(both, axis=-1).astype(jnp.int32)
+
+    def back(state, bp):
+        off_v, pick_v, off_u, pick_u = bp
+        unvoiced = state >= n_bins
+        b = state - n_bins * unvoiced.astype(jnp.int32)
+        off_vb = jnp.take_along_axis(off_v, b[..., None], axis=-1)[..., 0]
+        pv_b = jnp.take_along_axis(pick_v, b[..., None], axis=-1)[..., 0]
+        off_ub = jnp.take_along_axis(off_u, b[..., None], axis=-1)[..., 0]
+        pu_b = jnp.take_along_axis(pick_u, b[..., None], axis=-1)[..., 0]
+        off = jnp.where(unvoiced, off_ub, off_vb).astype(jnp.int32)
+        src_u = jnp.where(unvoiced, pu_b, pv_b)
+        prev_bin = jnp.clip(b + off - half, 0, n_bins - 1)
+        prev = prev_bin + n_bins * src_u.astype(jnp.int32)
+        return prev, state
+
+    first, states_rev = jax.lax.scan(back, last, bps, reverse=True)
+    states = jnp.concatenate(
+        [first[..., None], jnp.moveaxis(states_rev, 0, -1)], axis=-1
+    )  # [..., F]
+
+    voiced_flag = states < n_bins
+    bin_dec = states - n_bins * (~voiced_flag).astype(jnp.int32)
+
+    # refine: the decoded bin's best candidate (if any) carries the f0
+    cand_mask = trough & (bins == bin_dec[..., None])
+    score = jnp.where(cand_mask, prob, -1.0)
+    li = jnp.argmax(score, axis=-1)
+    found = jnp.take_along_axis(score, li[..., None], axis=-1)[..., 0] > 0.0
+    f0_cand = jnp.take_along_axis(f0_lag, li[..., None], axis=-1)[..., 0]
+    centers = _pitch_bin_centers(fmin, n_bins, nbps, dtype)
+    f0 = jnp.where(found, f0_cand, centers[bin_dec])
+    return f0, voiced_flag, voiced_prob
+
+
+def _pitch_bin_centers(fmin, n_bins, nbps, dtype):
+    return jnp.asarray(
+        (fmin * 2.0 ** (np.arange(n_bins, dtype=np.float64) / (12.0 * nbps))).astype(
+            np.float32
+        ),
+        dtype,
+    )
+
+
+def _pyin_log_obs(obs_v, voiced_prob, n_bins):
+    """(log_obs_voiced, log_obs_unvoiced) [.., F, N] from the linear bin
+    observations — the unvoiced track spreads 1 - P(voiced) uniformly."""
+    dtype = obs_v.dtype
+    log_floor = jnp.asarray(np.log(1e-30), dtype)
+    log_obs_v = jnp.log(jnp.maximum(obs_v, 1e-30))
+    log_obs_u = jnp.maximum(
+        jnp.log(jnp.maximum((1.0 - voiced_prob) / n_bins, 1e-30)), log_floor
+    )[..., None] * jnp.ones((n_bins,), dtype)
+    return log_obs_v, log_obs_u
+
+
+def _pyin_hmm_consts(sample_rate, hop, nbps, max_transition_rate, switch_prob, dtype):
+    """Banded two-track HMM constants: (half, log_kernel, log_stay,
+    log_switch). ``half`` is the max pitch movement in bins per frame."""
+    half = max(1, int(round(max_transition_rate * 12.0 * nbps * hop / sample_rate)))
+    tri = 1.0 - np.abs(np.arange(-half, half + 1, dtype=np.float64)) / (half + 1.0)
+    log_kernel = jnp.asarray(np.log(tri / tri.sum()).astype(np.float32), dtype)
+    log_stay = jnp.asarray(np.log1p(-switch_prob), dtype)
+    log_switch = jnp.asarray(np.log(switch_prob), dtype)
+    return half, log_kernel, log_stay, log_switch
+
+
+def _pyin_observations(
+    frames,
+    sample_rate,
+    fmin,
+    fmax,
+    *,
+    win=None,
+    n_thresholds=100,
+    beta_parameters=(2.0, 18.0),
+    boltzmann_parameter=2.0,
+    resolution=0.1,
+    no_trough_prob=0.01,
+    impl="auto",
+    precision=None,
+):
+    """Frame-local pYIN candidate stage: frames ``[..., F, L]`` ->
+    ``(obs_v [.., F, N], voiced_prob [.., F], trough, prob, f0_lag, bins
+    [.., F, T+1], n_bins, nbps)`` — everything up to (and excluding) the
+    HMM decode; shared by the offline tracker and the fixed-lag streaming
+    tracker, which differ only in how they decode these observations."""
+    if not 0.0 < resolution <= 12.0:
+        raise ValueError(f"resolution (semitones/bin) must be in (0, 12], got {resolution}")
     l = frames.shape[-1]
     w = win or l // 2
     tau_lo = max(int(np.floor(sample_rate / fmax)), 2)
@@ -405,19 +553,27 @@ def pyin_frames(
         return cnt + (tr[..., None] & (dnl[..., None] < thresholds)).astype(dtype), None
 
     cnt0 = jnp.zeros((*dn.shape[:-1], m_count), dtype)
-    n_q, _ = jax.lax.scan(count_step, cnt0, (tr_t, dn_t))
+    n_q, _ = jax.lax.scan(count_step, cnt0, (tr_t, dn_t), unroll=_CAND_UNROLL)
     norm_inv = jnp.where(n_q > 0, 1.0 / (1.0 - jnp.exp(-lam * n_q)), 1.0)
     cmn = masses * norm_inv * geo  # [.., F, M]
     nt_mass = (masses * (n_q <= 0)).sum(axis=-1)
 
-    def lag_step(cnt, inp):
+    # pass 2 carries the rank weight exp(-lam * cnt) MULTIPLICATIVELY
+    # (w *= exp(-lam) at each qualifying trough) instead of re-exponentiating
+    # the count every step: removes 245 x [.., F, M] transcendental passes
+    # from the scan body. Rounding drift vs the direct form is <= ~1e-5
+    # relative over the <= M qualifying ranks (oracle/gate budgets 5e-3).
+    decay = jnp.exp(jnp.asarray(-lam, dtype))
+
+    def lag_step(wgt, inp):
         tr, dnl = inp
         q_m = tr[..., None] & (dnl[..., None] < thresholds)  # [.., F, M]
-        w = jnp.exp(-lam * cnt) * cmn
-        prob_l = jnp.where(q_m, w, 0.0).sum(axis=-1)
-        return cnt + q_m.astype(dtype), prob_l
+        prob_l = jnp.where(q_m, wgt * cmn, 0.0).sum(axis=-1)
+        return jnp.where(q_m, wgt * decay, wgt), prob_l
 
-    _, prob_t = jax.lax.scan(lag_step, cnt0, (tr_t, dn_t))
+    _, prob_t = jax.lax.scan(
+        lag_step, jnp.ones_like(cnt0), (tr_t, dn_t), unroll=_CAND_UNROLL
+    )
     prob = jnp.moveaxis(prob_t, 0, -1)  # [.., F, L]
 
     # thresholds nothing cleared: no_trough_prob of their mass goes to the
@@ -456,84 +612,10 @@ def pyin_frames(
         bin_step,
         jnp.zeros((*dn.shape[:-1], n_bins), dtype),
         (prob_l_t, bins_t),
+        unroll=_CAND_UNROLL,
     )
-
-    log_floor = jnp.asarray(np.log(1e-30), dtype)
-    log_obs_v = jnp.log(jnp.maximum(obs_v, 1e-30))
-    log_obs_u = jnp.maximum(
-        jnp.log(jnp.maximum((1.0 - voiced_prob) / n_bins, 1e-30)), log_floor
-    )[..., None] * jnp.ones((n_bins,), dtype)
-
-    # --- banded two-track Viterbi ---
-    from .sequence import max_plus_band_argmax
-
-    half = max(1, int(round(max_transition_rate * 12.0 * nbps * hop / sample_rate)))
-    tri = 1.0 - np.abs(np.arange(-half, half + 1, dtype=np.float64)) / (half + 1.0)
-    log_kernel = jnp.asarray(np.log(tri / tri.sum()).astype(np.float32), dtype)
-    log_stay = jnp.asarray(np.log1p(-switch_prob), dtype)
-    log_switch = jnp.asarray(np.log(switch_prob), dtype)
-
-    ov = jnp.moveaxis(log_obs_v, -2, 0)  # [F, ..., N]
-    ou = jnp.moveaxis(log_obs_u, -2, 0)
-    log_init = jnp.asarray(-np.log(2 * n_bins), dtype)
-    dv0 = log_init + ov[0]
-    du0 = log_init + ou[0]
-
-    def vit_step(carry, obs_t):
-        dv, du = carry
-        lv, lu = obs_t
-        bv, av = max_plus_band_argmax(dv, log_kernel)
-        bu, au = max_plus_band_argmax(du, log_kernel)
-        sv, su = bv + log_stay, bu + log_switch
-        pick_v = su > sv  # source is the unvoiced track
-        new_v = lv + jnp.where(pick_v, su, sv)
-        off_v = jnp.where(pick_v, au, av)
-        sv2, su2 = bv + log_switch, bu + log_stay
-        pick_u = su2 > sv2
-        new_u = lu + jnp.where(pick_u, su2, sv2)
-        off_u = jnp.where(pick_u, au, av)
-        return (new_v, new_u), (off_v, pick_v, off_u, pick_u)
-
-    (dv, du), bps = jax.lax.scan(vit_step, (dv0, du0), (ov[1:], ou[1:]))
-    both = jnp.concatenate([dv, du], axis=-1)
-    last = jnp.argmax(both, axis=-1).astype(jnp.int32)
-
-    def back(state, bp):
-        off_v, pick_v, off_u, pick_u = bp
-        unvoiced = state >= n_bins
-        b = state - n_bins * unvoiced.astype(jnp.int32)
-        off_vb = jnp.take_along_axis(off_v, b[..., None], axis=-1)[..., 0]
-        pv_b = jnp.take_along_axis(pick_v, b[..., None], axis=-1)[..., 0]
-        off_ub = jnp.take_along_axis(off_u, b[..., None], axis=-1)[..., 0]
-        pu_b = jnp.take_along_axis(pick_u, b[..., None], axis=-1)[..., 0]
-        off = jnp.where(unvoiced, off_ub, off_vb).astype(jnp.int32)
-        src_u = jnp.where(unvoiced, pu_b, pv_b)
-        prev_bin = jnp.clip(b + off - half, 0, n_bins - 1)
-        prev = prev_bin + n_bins * src_u.astype(jnp.int32)
-        return prev, state
-
-    first, states_rev = jax.lax.scan(back, last, bps, reverse=True)
-    states = jnp.concatenate(
-        [first[..., None], jnp.moveaxis(states_rev, 0, -1)], axis=-1
-    )  # [..., F]
-
-    voiced_flag = states < n_bins
-    bin_dec = states - n_bins * (~voiced_flag).astype(jnp.int32)
-
-    # refine: the decoded bin's best candidate (if any) carries the f0
-    cand_mask = trough & (bins == bin_dec[..., None])
-    score = jnp.where(cand_mask, prob, -1.0)
-    li = jnp.argmax(score, axis=-1)
-    found = jnp.take_along_axis(score, li[..., None], axis=-1)[..., 0] > 0.0
-    f0_cand = jnp.take_along_axis(f0_lag * jnp.ones_like(dn), li[..., None], axis=-1)[..., 0]
-    centers = jnp.asarray(
-        (fmin * 2.0 ** (np.arange(n_bins, dtype=np.float64) / (12.0 * nbps))).astype(
-            np.float32
-        ),
-        dtype,
-    )
-    f0 = jnp.where(found, f0_cand, centers[bin_dec])
-    return f0, voiced_flag, voiced_prob
+    f0_lag = f0_lag * jnp.ones_like(dn)  # broadcast to the full lag grid
+    return obs_v, voiced_prob, trough, prob, f0_lag, bins, n_bins, nbps
 
 
 def pyin(
@@ -554,6 +636,255 @@ def pyin(
         x = jnp.pad(x, pads, mode="reflect")
     fr = frame(x, frame_length, hop)
     return pyin_frames(fr, sample_rate, fmin, fmax, hop=hop, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Streaming pYIN: fixed-lag Viterbi smoothing.
+#
+# The offline tracker's whole-sequence decode has no streaming form (the
+# backtrace starts at the LAST frame), so the streaming variant bounds the
+# decode delay instead: at every consumed frame t it backtracks ``lag``
+# steps from the current best state and emits the decision for frame
+# t - lag (classic fixed-lag smoothing — the OnlineBeats precedent of a
+# causal counterpart algorithm, ops/rhythm.py:293-362). State is the pair
+# of max-plus messages plus lag-deep rings of prev-state maps and of the
+# frame-local candidate tables the f0 refinement needs. Streamed == the
+# offline run of the SAME algorithm exactly (one scan, chunk-invariant);
+# agreement with the whole-sequence decode outside the lag window is a
+# quality property tested on steady-pitch material (tests/test_pitch.py).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class OnlinePyinPlan:
+    """Static configuration of the fixed-lag streaming pYIN tracker."""
+
+    sample_rate: float
+    fmin: float
+    fmax: float
+    frame_length: int
+    hop: int
+    lag: int
+    n_thresholds: int = 100
+    beta_parameters: tuple = (2.0, 18.0)
+    boltzmann_parameter: float = 2.0
+    resolution: float = 0.1
+    switch_prob: float = 0.01
+    no_trough_prob: float = 0.01
+    max_transition_rate: float = 35.92
+    impl: str = "auto"
+    precision: str | None = None
+
+    @property
+    def nbps(self) -> int:
+        return max(1, int(round(1.0 / self.resolution)))
+
+    @property
+    def n_bins(self) -> int:
+        return int(np.floor(12.0 * self.nbps * np.log2(self.fmax / self.fmin))) + 1
+
+    @property
+    def t_max(self) -> int:
+        w = self.frame_length // 2
+        tau_hi = min(int(np.ceil(self.sample_rate / self.fmin)), w - 1)
+        return min(tau_hi + 1, w)
+
+
+def make_online_pyin_plan(
+    sample_rate: float,
+    fmin: float = 65.0,
+    fmax: float = 2093.0,
+    frame_length: int = 2048,
+    hop: int = 256,
+    lag: int = 25,
+    **kwargs,
+) -> OnlinePyinPlan:
+    """Validated :class:`OnlinePyinPlan`; ``lag`` is the decode delay in
+    frames (latency = lag * hop samples on top of the framing overlap)."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1 frame, got {lag}")
+    plan = OnlinePyinPlan(
+        sample_rate, fmin, fmax, int(frame_length), int(hop), int(lag), **kwargs
+    )
+    if not 0.0 < plan.resolution <= 12.0:
+        raise ValueError(
+            f"resolution (semitones/bin) must be in (0, 12], got {plan.resolution}"
+        )
+    if not 0.0 < plan.switch_prob < 1.0:
+        raise ValueError(f"switch_prob must be in (0, 1), got {plan.switch_prob}")
+    return plan
+
+
+def online_pyin_init(
+    plan: OnlinePyinPlan, lead_shape=(), dtype=jnp.float32
+) -> dict:
+    """Zero streaming state: uniform max-plus messages (re-seeded at the
+    first consumed frame), empty prev-state / candidate rings, frame clock."""
+    n, t1, lag = plan.n_bins, plan.t_max + 1, plan.lag
+    return {
+        "dv": jnp.zeros((*lead_shape, n), dtype),
+        "du": jnp.zeros((*lead_shape, n), dtype),
+        "prev": jnp.zeros((*lead_shape, lag, 2 * n), jnp.int32),
+        "score": jnp.full((*lead_shape, lag + 1, t1), -1.0, dtype),
+        "f0r": jnp.zeros((*lead_shape, lag + 1, t1), dtype),
+        "bins": jnp.zeros((*lead_shape, lag + 1, t1), jnp.int32),
+        "vp": jnp.zeros((*lead_shape, lag + 1), dtype),
+        "seen": jnp.zeros((), jnp.int32),
+    }
+
+
+def online_pyin_step(
+    plan: OnlinePyinPlan,
+    state: dict,
+    frames: jnp.ndarray,
+    skip_first: int = 0,
+) -> tuple[dict, tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Consume frames ``[..., F, L]`` -> ``(state, (f0, voiced_flag,
+    voiced_prob))`` each ``[..., F]``.
+
+    The emission at frame index j is the fixed-lag decode of consumed frame
+    ``j - plan.lag`` (the first ``lag`` emissions are warm-up garbage — the
+    node's declared latency discards them). ``skip_first`` ignores the
+    first ``skip_first`` frames the STATE ever sees (a streaming node's
+    zero-prehistory framing tail, which the offline timeline does not
+    contain) — tracked across chunks by the state's frame clock, so the
+    caller passes a constant.
+    """
+    from .sequence import max_plus_band_argmax
+
+    dtype = frames.dtype
+    lag, n_bins = plan.lag, plan.n_bins
+    (obs_v, voiced_prob, trough, prob, f0_lag, bins, n_bins_o, nbps) = (
+        _pyin_observations(
+            frames, plan.sample_rate, plan.fmin, plan.fmax,
+            n_thresholds=plan.n_thresholds,
+            beta_parameters=plan.beta_parameters,
+            boltzmann_parameter=plan.boltzmann_parameter,
+            resolution=plan.resolution, no_trough_prob=plan.no_trough_prob,
+            impl=plan.impl, precision=plan.precision,
+        )
+    )
+    assert n_bins_o == n_bins, (n_bins_o, n_bins)
+    log_obs_v, log_obs_u = _pyin_log_obs(obs_v, voiced_prob, n_bins)
+    half, log_kernel, log_stay, log_switch = _pyin_hmm_consts(
+        plan.sample_rate, plan.hop, nbps, plan.max_transition_rate,
+        plan.switch_prob, dtype,
+    )
+    centers = _pitch_bin_centers(plan.fmin, n_bins, nbps, dtype)
+    log_init = jnp.asarray(-np.log(2 * n_bins), dtype)
+    score = jnp.where(trough, prob, -1.0)
+    bin_grid = jnp.arange(n_bins, dtype=jnp.int32)
+
+    seq = tuple(
+        jnp.moveaxis(a, -2, 0)
+        for a in (log_obs_v, log_obs_u, score, f0_lag, bins)
+    ) + (jnp.moveaxis(voiced_prob, -1, 0),)
+
+    def body(c, inp):
+        lv, lu, sc, f0r, bn, vp_f = inp
+        live = c["seen"] >= skip_first
+        is_first = c["seen"] == skip_first
+
+        # forward max-plus step (uniform-init form at the first consumed
+        # frame — matches the offline tracker's delta_0)
+        bv, av = max_plus_band_argmax(c["dv"], log_kernel)
+        bu, au = max_plus_band_argmax(c["du"], log_kernel)
+        sv, su = bv + log_stay, bu + log_switch
+        pick_v = su > sv
+        new_v = lv + jnp.where(pick_v, su, sv)
+        off_v = jnp.where(pick_v, au.astype(jnp.int32), av.astype(jnp.int32))
+        prev_v = jnp.clip(bin_grid + off_v - half, 0, n_bins - 1) + (
+            n_bins * pick_v.astype(jnp.int32)
+        )
+        sv2, su2 = bv + log_switch, bu + log_stay
+        pick_u = su2 > sv2
+        new_u = lu + jnp.where(pick_u, su2, sv2)
+        off_u = jnp.where(pick_u, au.astype(jnp.int32), av.astype(jnp.int32))
+        prev_u = jnp.clip(bin_grid + off_u - half, 0, n_bins - 1) + (
+            n_bins * pick_u.astype(jnp.int32)
+        )
+        dv = jnp.where(is_first, log_init + lv, new_v)
+        du = jnp.where(is_first, log_init + lu, new_u)
+        prev_map = jnp.concatenate([prev_v, prev_u], axis=-1)  # [.., 2N]
+
+        # rings (newest at index 0; the map pushed at the first consumed
+        # frame is never walked — valid emissions stop at frame >= 1)
+        prev_ring = jnp.concatenate(
+            [prev_map[..., None, :], c["prev"][..., :-1, :]], axis=-2
+        )
+        score_ring = jnp.concatenate(
+            [sc[..., None, :], c["score"][..., :-1, :]], axis=-2
+        )
+        f0_ring = jnp.concatenate(
+            [f0r[..., None, :], c["f0r"][..., :-1, :]], axis=-2
+        )
+        bins_ring = jnp.concatenate(
+            [bn[..., None, :].astype(jnp.int32), c["bins"][..., :-1, :]], axis=-2
+        )
+        vp_ring = jnp.concatenate([vp_f[..., None], c["vp"][..., :-1]], axis=-1)
+
+        # fixed-lag decode: argmax now, walk `lag` prev maps back
+        s = jnp.argmax(jnp.concatenate([dv, du], axis=-1), axis=-1).astype(
+            jnp.int32
+        )
+        for k in range(lag):
+            s = jnp.take_along_axis(prev_ring[..., k, :], s[..., None], axis=-1)[
+                ..., 0
+            ]
+        unvoiced = s >= n_bins
+        b = s - n_bins * unvoiced.astype(jnp.int32)
+        sc_e = score_ring[..., lag, :]
+        cand = jnp.where(
+            (bins_ring[..., lag, :] == b[..., None]) & (sc_e > 0.0), sc_e, -1.0
+        )
+        li = jnp.argmax(cand, axis=-1)
+        found = jnp.take_along_axis(cand, li[..., None], axis=-1)[..., 0] > 0.0
+        f0_cand = jnp.take_along_axis(
+            f0_ring[..., lag, :], li[..., None], axis=-1
+        )[..., 0]
+        f0 = jnp.where(found, f0_cand, centers[b])
+        out = (f0, ~unvoiced, vp_ring[..., lag])
+
+        new_c = {
+            "dv": dv, "du": du, "prev": prev_ring, "score": score_ring,
+            "f0r": f0_ring, "bins": bins_ring, "vp": vp_ring,
+        }
+        kept = {k: jnp.where(live, new_c[k], c[k]) for k in new_c}
+        kept["seen"] = c["seen"] + 1
+        return kept, out
+
+    state, (f0_t, vf_t, vp_t) = jax.lax.scan(body, state, seq)
+    return state, (
+        jnp.moveaxis(f0_t, 0, -1),
+        jnp.moveaxis(vf_t, 0, -1),
+        jnp.moveaxis(vp_t, 0, -1),
+    )
+
+
+def pyin_online(
+    x: jnp.ndarray,
+    sample_rate: float,
+    fmin: float = 65.0,
+    fmax: float = 2093.0,
+    frame_length: int = 2048,
+    hop: int = 256,
+    lag: int = 25,
+    **kwargs,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fixed-lag streaming pYIN over a whole signal ``[..., T]`` ->
+    ``(f0, voiced_flag, voiced_prob)`` each ``[..., F]`` on the EMISSION
+    timeline: index j decodes frame j - ``lag`` (the first ``lag`` outputs
+    are warm-up). This is the offline run of exactly the algorithm the
+    :class:`~audioflow_tpu.graph.nodes.OnlinePyin` node streams
+    (center=False framing, zero initial state) — the streamed form equals
+    it at the node's declared whole-unit latency."""
+    plan = make_online_pyin_plan(
+        sample_rate, fmin, fmax, frame_length, hop, lag, **kwargs
+    )
+    fr = frame(x, frame_length, hop)
+    state = online_pyin_init(plan, x.shape[:-1], fr.dtype)
+    _, out = online_pyin_step(plan, state, fr, skip_first=0)
+    return out
 
 
 def piptrack(

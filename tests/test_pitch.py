@@ -336,3 +336,74 @@ def test_piptrack_tone_and_chord(rng):
     outside = (freqs < 150) | (freqs > 2000)
     assert (pitches[..., outside] == 0).all()
     assert ((pitches > 0) == (mags > 0)).all()
+
+
+# --- streaming pYIN: fixed-lag Viterbi smoothing ---
+
+
+def test_online_pyin_matches_offline_decode_on_steady_pitch(rng):
+    """Fixed-lag smoothing == the whole-sequence Viterbi outside the lag
+    window on steady-pitch material (the decode converges well before the
+    lag horizon)."""
+    sr, fl, hop, lag = 8000, 512, 128, 12
+    t = np.arange(2 * sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    x += 0.01 * rng.standard_normal(x.shape).astype(np.float32)
+    kw = dict(n_thresholds=16, resolution=0.5)
+    f0, vf, vp = ops.pyin_online(jnp.asarray(x), sr, 100.0, 400.0, fl, hop, lag, **kw)
+    from audioflow_tpu.ops.framing import frame as _frame
+
+    of0, ovf, ovp = ops.pyin_frames(
+        _frame(jnp.asarray(x), fl, hop), sr, 100.0, 400.0, hop=hop, **kw
+    )
+    # emission j decodes frame j - lag; compare away from the two edges
+    dec_f0, dec_vf = np.asarray(f0)[lag:], np.asarray(vf)[lag:]
+    n = dec_f0.shape[0]
+    sl = slice(5, n - 5)
+    assert (dec_vf[sl] == np.asarray(ovf)[:n][sl]).all()
+    np.testing.assert_allclose(dec_f0[sl], np.asarray(of0)[:n][sl], rtol=1e-6)
+
+
+def test_online_pyin_node_stream_equals_offline_chunk_invariant(rng):
+    """OnlinePyin streams exactly (== offline apply at the declared
+    whole-unit latency) for multiple chunk sizes — the framework streaming
+    invariant; modulated pitch so the decode is nontrivial."""
+    from audioflow_tpu.graph import chain
+    from audioflow_tpu.graph.nodes import OnlinePyin
+
+    sr = 8000
+    t = np.arange(int(2.5 * sr)) / sr
+    f_tr = 180 + 40 * np.sin(2 * np.pi * 0.7 * t)
+    x = (0.4 * np.sin(2 * np.pi * np.cumsum(f_tr) / sr)).astype(np.float32)
+    x += 0.01 * rng.standard_normal(x.shape).astype(np.float32)
+    node = OnlinePyin(
+        fmin=100.0, fmax=400.0, frame_length=512, hop=128, lag=10,
+        n_thresholds=16, resolution=0.5, sample_rate=sr,
+    )
+    g = chain(node, input_rate=sr)
+    offline = np.asarray(g.chain(jnp.asarray(x)))
+    assert offline.shape[-1] == 3
+    for chunk_mult in (4, 16):
+        chunk = g.chunk_granularity() * chunk_mult
+        n_use = (len(x) // chunk) * chunk
+        streamed = np.asarray(g.scan_stream(jnp.asarray(x[:n_use]), chunk))
+        lat = g.stream_latency(chunk)
+        assert lat == node._carry_len // node.hop + node.lag
+        n = streamed.shape[0] - lat
+        np.testing.assert_array_equal(streamed[lat : lat + n], offline[:n])
+    # mid-stream decode matches the steady-state pitch trajectory
+    f0, vflag = offline[..., 0], offline[..., 1]
+    sel = vflag[8:-8] == 1.0
+    assert sel.mean() > 0.9
+    want = f_tr[(np.arange(len(f0)) * 128)[8:-8][sel]]
+    rel = np.abs(f0[8:-8][sel] - want) / want
+    assert np.median(rel) < 0.02, np.median(rel)
+
+
+def test_online_pyin_plan_validation():
+    with pytest.raises(ValueError):
+        ops.make_online_pyin_plan(8000, lag=0)
+    with pytest.raises(ValueError):
+        ops.make_online_pyin_plan(8000, resolution=0.0)
+    with pytest.raises(ValueError):
+        ops.make_online_pyin_plan(8000, switch_prob=1.5)
