@@ -519,7 +519,13 @@ def cmd_pitch(args) -> int:
     voicing decision is decoded, not thresholded. ``--method pyin-online``
     runs the fixed-lag streaming tracker (ops/pitch.py::pyin_online, the
     :class:`OnlinePyin` node's algorithm) — what a live session would
-    emit, 25 frames of decode delay."""
+    emit, ``--lag`` frames of decode delay. Timeline note: the online
+    tracker frames WITHOUT centering (frame i spans
+    ``[i*hop, i*hop + frame_length)``) while yin/pyin center frames on
+    sample ``i*hop``; the reported ``t`` adds ``frame_length/(2*rate)``
+    for the online method so all three methods share one timeline, and
+    the last ``lag`` frames of the file are not emitted (they would need
+    audio past EOF to decode)."""
     import jax.numpy as jnp
 
     from . import ops
@@ -530,7 +536,7 @@ def cmd_pitch(args) -> int:
         data = data.mean(axis=1)
     if args.method in ("pyin", "pyin-online"):
         if args.method == "pyin-online":
-            lag = 25
+            lag = args.lag
             f0, vflag, vprob = ops.pyin_online(
                 jnp.asarray(data, jnp.float32), rate, args.fmin, args.fmax,
                 args.frame_length, args.hop, lag,
@@ -553,9 +559,13 @@ def cmd_pitch(args) -> int:
         f0, ap = np.asarray(f0), np.asarray(ap)
         voiced = ap < args.voiced_threshold
     hop_s = args.hop / rate
+    # online frames span [i*hop, i*hop+frame_length) (no centering) vs the
+    # centered yin/pyin frames at i*hop: shift t by half a frame to put all
+    # methods on one timeline (ADVICE r4)
+    t0 = args.frame_length / (2.0 * rate) if args.method == "pyin-online" else 0.0
     track = [
         {
-            "t": round(i * hop_s, 4),
+            "t": round(t0 + i * hop_s, 4),
             "f0_hz": round(float(f), 2) if v else None,
             "aperiodicity": round(float(a), 3),
         }
@@ -876,6 +886,9 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--hop", type=int, default=256)
     pt.add_argument("--voiced-threshold", type=float, default=0.3,
                     help="aperiodicity (CMND depth) below this counts as voiced")
+    pt.add_argument("--lag", type=int, default=25,
+                    help="pyin-online only: fixed-lag decode delay in frames "
+                    "— the latency/accuracy knob of the streaming tracker")
     pt.set_defaults(fn=cmd_pitch)
 
     al = sub.add_parser("align", help="DTW-align two audio files (MFCC/log-mel)")

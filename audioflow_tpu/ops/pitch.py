@@ -743,12 +743,17 @@ def online_pyin_step(
     voiced_prob))`` each ``[..., F]``.
 
     The emission at frame index j is the fixed-lag decode of consumed frame
-    ``j - plan.lag`` (the first ``lag`` emissions are warm-up garbage — the
-    node's declared latency discards them). ``skip_first`` ignores the
-    first ``skip_first`` frames the STATE ever sees (a streaming node's
-    zero-prehistory framing tail, which the offline timeline does not
-    contain) — tracked across chunks by the state's frame clock, so the
-    caller passes a constant.
+    ``j - plan.lag``. ``skip_first`` ignores the first ``skip_first``
+    frames the STATE ever sees (a streaming node's zero-prehistory framing
+    tail, which the offline timeline does not contain) — tracked across
+    chunks by the state's frame clock, so the caller passes a constant.
+
+    Raw-API caveat: callers MUST discard the first ``skip_first + lag``
+    emissions — they are warm-up garbage by construction (decodes of
+    skipped or not-yet-seen frames; the :class:`~..graph.nodes.OnlinePyin`
+    node does this via its declared ``latency()``). The decode work for
+    those frames still runs (static shapes under jit — gating them would
+    cost a select, not save the compute).
     """
     from .sequence import max_plus_band_argmax
 

@@ -267,6 +267,16 @@ def test_cli_pitch(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["voiced_fraction"] > 0.9
     assert abs(out["median_f0_hz"] - 220.0) < 3.0
+    # pyin-online: --lag plumbs through and t carries the half-frame shift
+    # that puts the uncentered online framing on the centered timeline
+    # (ADVICE r4); the truncated tail (last `lag` frames) is documented
+    assert cli_main(
+        ["pitch", "-i", str(p), "--method", "pyin-online", "--lag", "10",
+         "--fmin", "80", "--fmax", "1200"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["track"][0]["t"] == round(2048 / (2 * 16000), 4)
+    assert abs(out["median_f0_hz"] - 220.0) < 3.0
 
 
 def test_new_pipeline_constructors(rng, tmp_path, capsys):
