@@ -1318,8 +1318,15 @@ class Icqt(Node):
     (ops/cqt.py::icqt). ``method="auto"`` picks the painless diagonal dual
     for fine hops and the hybrid LS-dual + sinusoidal-model inverse past
     the painless cliff (the framework default hop 256 / 84 bins included).
-    Offline only: the hybrid's dual support spans ``nd/2`` samples each
-    side, so there is no constant-latency streaming form."""
+    **Hybrid signal-model restriction**: past the cliff only PEAKY/tonal
+    content reconstructs (>= ~35 dB bin-center tones) — broadband noise
+    there comes back at ~-10 dB, a harmonic complex ~8 dB (full figures in
+    the ops.icqt docstring). For broadband-faithful inversion use
+    ``ops.cqt(..., multirate=True)`` + ``ops.icqt`` at the array API (the
+    multirate transform's per-octave frame rates do not fit the
+    fixed-grid node dataflow). Offline only: the hybrid's dual support
+    spans ``nd/2`` samples each side, so there is no constant-latency
+    streaming form."""
 
     hop: int = 256
     n_bins: int = 84

@@ -92,13 +92,17 @@ from .features import (
 )
 from .cqt import (
     FMIN_C1,
+    MultirateCqt,
     chroma_cqt,
     cqt,
     cqt_frequencies,
     cqt_lengths,
+    cqt_multirate,
     cqt_window_length,
     icqt,
     icqt_max_hop,
+    icqt_multirate,
+    multirate_hops,
 )
 from .fir import convolve, fir_apply, fir_design
 from .framing import frame, num_frames, overlap_add

@@ -249,17 +249,31 @@ def run_validation(seed: int = 0) -> dict:
     # ops/cqt.py::_icqt_hybrid): worst tone SNR over the structurally worst
     # bins — the hop-alias-colliding bottom pair (0, 1), a mid painless bin
     # (21), the full crossfade band (41-44), a mid sin-branch bin (63), and
-    # the top edge pair (82, 83). The full 84-bin sweep lives in
-    # BENCHMARKS.md (scripts/chip_r4_icqt_sweep.py); this row samples every
-    # failure mode of it. Same negated convention, budget -30 (>= 30 dB);
-    # f64 prototype measured >= ~36 dB worst.
+    # the top edge pair (82, 83). The full 84-bin sweep's raw SNRs are the
+    # committed artifact bench_records/chip_r4_icqt_sweep (generated by
+    # scripts/chip_r4_icqt_sweep.py); this row samples every failure mode of
+    # it. Same negated convention, budget -30 (>= 30 dB); f64 prototype
+    # measured >= ~36 dB worst. NOTE this row measures the hybrid's BEST
+    # CASE (bin-center tones) by design; its broadband envelope is the two
+    # rows below.
     hyb_bins = (0, 1, 21, 41, 42, 43, 44, 63, 82, 83)
     hyb_freqs = ops.cqt_frequencies(84)
     t_hyb = 64000  # 4 s: the LS dual support is nd/2 = 16896 per edge
     nv = np.arange(t_hyb)
-    xb_h = np.stack(
-        [np.sin(2 * np.pi * hyb_freqs[k] * nv / 16000.0) for k in hyb_bins]
-    ).astype(np.float32)
+    rows_h = [np.sin(2 * np.pi * hyb_freqs[k] * nv / 16000.0) for k in hyb_bins]
+    # broadband rows (VERDICT r4 item 1a — the honest envelope): band noise
+    # in the sin-branch region and a 150 Hz harmonic complex
+    zn = rng.standard_normal(t_hyb)
+    zf = np.fft.rfft(zn)
+    fgrid = np.fft.rfftfreq(t_hyb, 1.0 / 16000.0)
+    zf[(fgrid < 800.0) | (fgrid > 2000.0)] = 0
+    noise_hi = np.fft.irfft(zf, t_hyb)
+    noise_hi /= np.abs(noise_hi).max() * 2.0
+    harm = sum(
+        (0.5 / (i + 1)) * np.sin(2 * np.pi * 150.0 * (i + 1) * nv / 16000.0)
+        for i in range(12)
+    )
+    xb_h = np.stack(rows_h + [noise_hi, harm]).astype(np.float32)
     icqt_hyb = _jx.jit(
         lambda z: ops.icqt(
             ops.cqt(z, 16000, 256, 84, output="complex"),
@@ -272,7 +286,30 @@ def run_validation(seed: int = 0) -> dict:
     snr_h = 10.0 * np.log10(
         (xb_h[:, lo:hi] ** 2).sum(axis=1) / np.maximum((e_h ** 2).sum(axis=1), 1e-30)
     )
-    report["icqt_tone_snr_db"] = -float(snr_h.min())
+    report["icqt_tone_snr_db"] = -float(snr_h[: len(hyb_bins)].min())
+    # published as-is (NOT negated): the hybrid is a tone reconstructor in
+    # the sin-branch region — ~-10 dB on 800-2000 Hz noise, ~8 dB on the
+    # harmonic complex. The gate is a sanity band (documented behavior, not
+    # a quality bar); the broadband-faithful inverse is the multirate row.
+    report["icqt_hybrid_noise_snr_db"] = float(snr_h[len(hyb_bins)])
+    report["icqt_hybrid_harm_snr_db"] = float(snr_h[len(hyb_bins) + 1])
+
+    # multirate CQT (cqt(multirate=True), per-octave painless hops): TRUE
+    # broadband inversion at the framework default config — the same noise
+    # band and harmonic complex the hybrid fails, gated >= 30 dB (negated
+    # convention; design f64 measured 60.0 / 57.3 dB, f32 on CPU matches).
+    icqt_mr = _jx.jit(
+        lambda z: ops.icqt(
+            ops.cqt(z, 16000, multirate=True, output="complex"), length=t_hyb
+        )
+    )
+    xb_m = np.stack([noise_hi, harm]).astype(np.float32)
+    yb_m = np.asarray(icqt_mr(jnp.asarray(xb_m)))
+    e_m = yb_m[:, lo:hi] - xb_m[:, lo:hi]
+    snr_m = 10.0 * np.log10(
+        (xb_m[:, lo:hi] ** 2).sum(axis=1) / np.maximum((e_m ** 2).sum(axis=1), 1e-30)
+    )
+    report["icqt_multirate_noise_snr_db"] = -float(snr_m.min())
 
     # matmul-ACF banks vs the FFT correlation (the shipped TPU default for
     # YIN/tempo rides these banks at 'high'; identical math, so the row is
@@ -362,6 +399,9 @@ def run_validation(seed: int = 0) -> dict:
             "cqt_440_mag_err",
             "icqt_painless_snr_db",
             "icqt_tone_snr_db",
+            "icqt_hybrid_noise_snr_db",
+            "icqt_hybrid_harm_snr_db",
+            "icqt_multirate_noise_snr_db",
             "acf_matmul_rel",
             "pyin_220_rel",
             "griffinlim_tone_err",
@@ -380,6 +420,9 @@ def run_validation(seed: int = 0) -> dict:
         and report["cqt_440_mag_err"] < 5e-2
         and report["icqt_painless_snr_db"] < -30.0
         and report["icqt_tone_snr_db"] < -30.0
+        and -25.0 < report["icqt_hybrid_noise_snr_db"] < 10.0
+        and 0.0 < report["icqt_hybrid_harm_snr_db"] < 25.0
+        and report["icqt_multirate_noise_snr_db"] < -30.0
         and report["acf_matmul_rel"] < 1e-3
         and report["pyin_220_rel"] < 5e-3
         and report["griffinlim_tone_err"] < 0.2
