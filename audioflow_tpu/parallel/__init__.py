@@ -34,6 +34,7 @@ from ..errors import AudioError, ErrorCode
 from .sp import (
     sequence_sharded_fir,
     sequence_sharded_frontend,
+    sequence_sharded_graph,
     sequence_sharded_iir,
     sequence_sharded_limiter,
     sequence_sharded_master,
@@ -107,13 +108,38 @@ def pad_batch(x: np.ndarray, mesh: Mesh, axis: str = "data") -> tuple[np.ndarray
     return x, mask
 
 
-def compile_sharded(graph, mesh: Mesh, axis: str = "data", donate: bool = False):
-    """Jit a Graph's chain with the input batch sharded over ICI.
+def compile_sharded(
+    graph,
+    mesh: Mesh,
+    axis: str = "data",
+    donate: bool = False,
+    shard: str = "batch",
+):
+    """Jit a Graph's chain sharded over ICI.
 
-    Output shardings are left to XLA (it propagates the batch sharding
-    through the embarrassingly-parallel chain, so no collectives appear on
-    the hot path — asserted on HLO in tests).
+    ``shard="batch"`` (default): input batch axis sharded — the
+    embarrassingly-parallel per-file mode. Output shardings are left to XLA
+    (it propagates the batch sharding through the chain, so no collectives
+    appear on the hot path — asserted on HLO in tests).
+
+    ``shard="time"``: ONE long signal's time axis sharded — the node chain
+    is mapped onto the :mod:`.sp` machinery (finite-halo ppermutes, affine/
+    max-plus carry composition; see
+    :func:`~audioflow_tpu.parallel.sequence_sharded_graph` for node
+    coverage and exactness). Takes ``x [batch, T]`` with
+    ``T % (n_devices * granularity)`` per the stage requirements; a node
+    without a time-sharded mapping raises a typed error naming itself.
     """
+    if shard == "time":
+        return jax.jit(
+            sequence_sharded_graph(graph, mesh, axis=axis),
+            donate_argnums=(0,) if donate else (),
+        )
+    if shard != "batch":
+        raise AudioError(
+            f"unknown shard mode {shard!r}; known: batch, time",
+            code=ErrorCode.CONFIG_VALIDATION_ERROR,
+        )
     return jax.jit(
         graph.chain,
         in_shardings=(NamedSharding(mesh, P(axis, None)),),

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "sequence_sharded_fir",
     "sequence_sharded_frontend",
+    "sequence_sharded_graph",
     "sequence_sharded_iir",
     "sequence_sharded_limiter",
     "sequence_sharded_master",
@@ -50,6 +51,8 @@ def sequence_sharded_spectrogram(
     power: bool = True,
     precision: str | None = None,
     axis: str = "data",
+    win_length: int | None = None,
+    impl: str = "matmul",
 ):
     """Spectrogram of ``x [batch, T]`` with T sharded over ``mesh[axis]``.
 
@@ -104,8 +107,8 @@ def sequence_sharded_spectrogram(
             xe = xl
         # (local_t + halo - n_fft) // hop + 1 == local_t // hop frames
         return spectrogram(
-            xe, n_fft, hop, window=window, center=False, power=power,
-            precision=precision,
+            xe, n_fft, hop, window=window, win_length=win_length,
+            center=False, power=power, impl=impl, precision=precision,
         )
 
     fn = jax.shard_map(
@@ -343,15 +346,18 @@ def sequence_sharded_iir(
     return fn(jax.device_put(x, NamedSharding(mesh, P(None, axis))))
 
 
-def sequence_sharded_limiter(
+def _sequence_sharded_env_gain(
     x: jnp.ndarray,
     mesh: Mesh,
-    threshold_db: float = -1.0,
-    release_ms: float = 50.0,
-    sample_rate: int = 16000,
-    axis: str = "data",
+    release_ms: float,
+    sample_rate: int,
+    gain_fn,
+    axis: str,
+    what: str,
 ):
-    """Peak limiter of ``x [batch, T]`` with T sharded over ``mesh[axis]``.
+    """Shared skeleton of the time-sharded peak-release dynamics family
+    (limiter / compressor / noise gate — they differ only in the gain map
+    applied to the envelope).
 
     The instant-attack/exponential-release envelope
     ``e[n] = max(|x[n]|, r e[n-1])`` is max-plus AFFINE in log space
@@ -361,12 +367,11 @@ def sequence_sharded_limiter(
     per-shard carries, an unrolled max-plus prefix, and an elementwise
     correction ``le[n] = max(le0[n], le_in + (n+1) log r)`` (the incoming
     envelope decays through the shard — the max-plus analog of ``C A^n``).
-    Matches the unsharded :func:`~audioflow_tpu.ops.limiter` to f32
-    log/exp rounding.
+    Matches the unsharded envelope to f32 log/exp rounding.
     """
     from ..errors import AudioError, ErrorCode
 
-    _validate_2d(x, "sequence_sharded_limiter")
+    _validate_2d(x, what)
     n_dev = mesh.shape[axis]
     t = x.shape[-1]
     if t % n_dev:
@@ -375,7 +380,6 @@ def sequence_sharded_limiter(
             code=ErrorCode.SHAPE_MISMATCH,
         )
     local_t = t // n_dev
-    thresh = 10.0 ** (threshold_db / 20.0)
     log_r = float(np.log(np.exp(-1.0 / (release_ms * 1e-3 * sample_rate))))
     neg = jnp.float32(-1e30)
 
@@ -397,11 +401,32 @@ def sequence_sharded_limiter(
             jnp.arange(1, local_t + 1, dtype=xl.dtype) * log_r
         )
         env = jnp.exp(jnp.maximum(le0, decay))
-        g = jnp.minimum(1.0, thresh / jnp.maximum(env, 1e-30))
-        return xl * g
+        return xl * gain_fn(env)
 
     fn = jax.shard_map(local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, axis))
     return fn(jax.device_put(x, NamedSharding(mesh, P(None, axis))))
+
+
+def sequence_sharded_limiter(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    threshold_db: float = -1.0,
+    release_ms: float = 50.0,
+    sample_rate: int = 16000,
+    axis: str = "data",
+):
+    """Peak limiter of ``x [batch, T]`` with T sharded over ``mesh[axis]``
+    (see :func:`_sequence_sharded_env_gain` for the max-plus carry math).
+    Matches the unsharded :func:`~audioflow_tpu.ops.limiter` to f32
+    log/exp rounding."""
+    thresh = 10.0 ** (threshold_db / 20.0)
+
+    def gain(env):
+        return jnp.minimum(1.0, thresh / jnp.maximum(env, 1e-30))
+
+    return _sequence_sharded_env_gain(
+        x, mesh, release_ms, sample_rate, gain, axis, "sequence_sharded_limiter"
+    )
 
 
 def sequence_sharded_master(
@@ -426,6 +451,206 @@ def sequence_sharded_master(
     return sequence_sharded_limiter(
         y, mesh, limiter_db, release_ms, sample_rate, axis=axis
     )
+
+
+def _sequence_sharded_framed(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    halo: int,
+    hop: int,
+    n_fft: int,
+    local_apply,
+    axis: str,
+    what: str,
+):
+    """Generic right-halo framed stage: fetch ``halo`` samples from the
+    right neighbor (= the node's streaming overlap carry, exchanged across
+    chips instead of scan steps), run the node's offline center=False op on
+    the extended shard, keep the shard's own ``local_t // hop`` frames.
+    ``halo`` must be >= ``n_fft - hop`` and a hop multiple (every framed
+    node's ``_carry_len`` is)."""
+    from ..errors import AudioError, ErrorCode
+
+    _validate_2d(x, what)
+    n_dev = mesh.shape[axis]
+    t = x.shape[-1]
+    if t % (n_dev * hop):
+        raise AudioError(
+            f"{what}: T = {t} must divide into {n_dev} shards of whole hops "
+            f"(T % (n_devices * hop) == 0; hop = {hop})",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+    local_t = t // n_dev
+    if local_t < n_fft:
+        raise AudioError(
+            f"{what}: local shard {local_t} < n_fft {n_fft}; use fewer "
+            f"devices or longer input",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+
+    def local(xl):
+        if halo > 0:
+            nxt = jax.lax.ppermute(
+                xl[..., :halo], axis,
+                perm=[(i + 1, i) for i in range(n_dev - 1)],
+            )
+            xe = jnp.concatenate([xl, nxt], axis=-1)
+        else:
+            xe = xl
+        out = local_apply(xe)
+        return out[..., : local_t // hop, :]
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, axis, None)
+    )
+    return fn(jax.device_put(x, NamedSharding(mesh, P(None, axis))))
+
+
+def sequence_sharded_graph(graph, mesh: Mesh, axis: str = "data"):
+    """Map a :class:`~audioflow_tpu.graph.Graph` node chain onto time-sharded
+    execution (VERDICT r4 item 5 — the product surface over the
+    ``sequence_sharded_*`` machinery): returns ``fn(x [batch, T])`` running
+    every node with T sharded over ``mesh[axis]`` — finite-halo framed
+    nodes ride their streaming-carry halos (one ppermute each), the
+    IIR/limiter family rides the affine/max-plus carry composition (one
+    tiny all-gather each), frame-local nodes run purely locally, and the
+    big tensors never leave their shards. Call via
+    ``parallel.compile_sharded(graph, mesh, shard="time")``.
+
+    Node coverage (a node outside it raises a typed
+    ``CONFIG_VALIDATION_ERROR`` naming itself):
+
+    * halo: ``Spectrogram`` / ``LogMelSpec`` (center=False — the sharded
+      frame grid cannot reflect-pad globally), ``Resample``, ``Fir``;
+    * carry composition: ``BiquadChain`` (affine state), ``Limiter`` /
+      ``Compressor`` / ``NoiseGate`` (max-plus envelope);
+    * local: ``Gain``, ``Magnitude``, ``Power``, ``MelProject``, ``Mfcc``,
+      ``QuantizeI16`` (sample/frame-local — GSPMD keeps them collective-
+      free, asserted in tests);
+    * ``Stft`` raises: XLA's FFT op does not partition (it would all-gather
+      the time axis) — use ``Spectrogram`` (matmul DFT) instead.
+
+    Output equals the unsharded ``graph.chain`` on the fully-covered
+    region: framed stages zero-fill past the final shard (the streaming
+    zero-pad tail convention), matching offline up to the last
+    ``ceil(n_fft/hop) - 1`` frames; sample-domain chains match end to end.
+    """
+    from ..errors import AudioError, ErrorCode
+    from ..graph.nodes import (
+        BiquadChain, Compressor, Fir, Gain, Limiter, LogMelSpec, Magnitude,
+        MelProject, Mfcc, NoiseGate, Power, QuantizeI16, Resample,
+        Spectrogram, Stft,
+    )
+    from ..ops import dynamics as _dyn
+    from ..ops import spectrogram as _spec_op
+
+    local_types = (Gain, Magnitude, Power, MelProject, Mfcc, QuantizeI16)
+    stages = []
+    for i, node in enumerate(graph.nodes):
+        name = f"node {i} ({type(node).__name__})"
+        if isinstance(node, Resample):
+            stages.append(
+                lambda x, n=node: sequence_sharded_resample(
+                    x, mesh, n.input_rate, n.output_rate, n.mode, axis=axis
+                )
+            )
+        elif isinstance(node, Spectrogram):
+            if node.center:
+                raise AudioError(
+                    f"{name}: time sharding needs center=False (the sharded "
+                    "frame grid cannot reflect-pad globally)",
+                    code=ErrorCode.CONFIG_VALIDATION_ERROR,
+                )
+            stages.append(
+                # n=node early-binds the loop variable at BOTH lambda depths
+                # (the inner default n=n evaluates when the outer runs, so it
+                # must reference the outer's parameter, not the loop var)
+                lambda x, n=node: _sequence_sharded_framed(
+                    x, mesh, n._carry_len, n.hop, n.n_fft,
+                    lambda xe, n=n: _spec_op(
+                        xe, n.n_fft, n.hop, n.window, n.win_length,
+                        center=False, power=n.power, impl=n.impl,
+                        precision=n.precision,
+                    ),
+                    axis, f"sequence_sharded_graph[{type(n).__name__}]",
+                )
+            )
+        elif isinstance(node, LogMelSpec):
+            if node.center:
+                raise AudioError(
+                    f"{name}: time sharding needs center=False (the sharded "
+                    "frame grid cannot reflect-pad globally)",
+                    code=ErrorCode.CONFIG_VALIDATION_ERROR,
+                )
+            stages.append(
+                lambda x, n=node: _sequence_sharded_framed(
+                    x, mesh, n._carry_len, n.hop, n.n_fft,
+                    lambda xe: n._run(xe, False),
+                    axis, f"sequence_sharded_graph[{type(n).__name__}]",
+                )
+            )
+        elif isinstance(node, Stft):
+            raise AudioError(
+                f"{name}: XLA's FFT op does not partition over the time axis "
+                "(it would all-gather the signal); use Spectrogram (matmul "
+                "DFT) for time-sharded graphs",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+        elif isinstance(node, Fir):
+            stages.append(
+                lambda x, n=node: sequence_sharded_fir(x, mesh, n._h(), axis=axis)
+            )
+        elif isinstance(node, BiquadChain):
+            stages.append(
+                lambda x, n=node: sequence_sharded_iir(
+                    x, mesh, n.biquads, n.block, axis=axis
+                )
+            )
+        elif isinstance(node, Limiter):
+            stages.append(
+                lambda x, n=node: sequence_sharded_limiter(
+                    x, mesh, n.threshold_db, n.release_ms, n.sample_rate,
+                    axis=axis,
+                )
+            )
+        elif isinstance(node, Compressor):
+            stages.append(
+                lambda x, n=node: _sequence_sharded_env_gain(
+                    x, mesh, n.release_ms, n.sample_rate,
+                    lambda env: _dyn.compressor_gain(
+                        env, n.threshold_db, n.ratio, n.knee_db
+                    ),
+                    axis, "sequence_sharded_graph[Compressor]",
+                )
+            )
+        elif isinstance(node, NoiseGate):
+            stages.append(
+                lambda x, n=node: _sequence_sharded_env_gain(
+                    x, mesh, n.release_ms, n.sample_rate,
+                    lambda env: _dyn.gate_gain(env, n.threshold_db, n.floor_db),
+                    axis, "sequence_sharded_graph[NoiseGate]",
+                )
+            )
+        elif isinstance(node, local_types):
+            stages.append(lambda x, n=node: n.apply(x))
+        else:
+            raise AudioError(
+                f"{name} has no sequence-parallel mapping; supported: "
+                "Resample/Spectrogram/LogMelSpec/Fir (finite halo), "
+                "BiquadChain (affine carry), Limiter/Compressor/NoiseGate "
+                "(max-plus carry), Gain/Magnitude/Power/MelProject/Mfcc/"
+                "QuantizeI16 (local). Batch-shard instead "
+                "(compile_sharded(..., shard='batch')) or stream on one "
+                "chip (Graph.scan_stream).",
+                code=ErrorCode.CONFIG_VALIDATION_ERROR,
+            )
+
+    def run(x):
+        for s in stages:
+            x = s(x)
+        return x
+
+    return run
 
 
 def sequence_sharded_frontend(

@@ -564,3 +564,89 @@ def test_session7_families_shard_with_zero_collectives(rng):
         for coll in ("all-reduce(", "all-gather(", "collective-permute(",
                      "all-to-all(", "reduce-scatter("):
             assert coll not in hlo, (i, coll)
+
+
+def test_sequence_sharded_graph_master_chain(rng):
+    """compile_sharded(shard='time') — the Graph-level SP surface (VERDICT
+    r4 item 5): the config-3 master chain (BiquadChain + Limiter) on ONE
+    long signal equals the offline graph end to end."""
+    from audioflow_tpu.models.pipelines import master_chain_graph
+    from audioflow_tpu.parallel import compile_sharded, make_mesh
+
+    mesh = make_mesh(8)
+    g = master_chain_graph(16000)
+    x = (0.5 * rng.standard_normal((2, 8 * 8192))).astype(np.float32)
+    fn = compile_sharded(g, mesh, shard="time")
+    out = np.asarray(fn(jnp.asarray(x)))
+    want = np.asarray(g.chain(jnp.asarray(x)))
+    np.testing.assert_allclose(out, want, atol=1e-5)
+    # collective footprint: two tiny all-gathers (EQ state + limiter
+    # envelope), nothing signal-sized — no ppermute/all-reduce
+    hlo = fn.lower(jnp.asarray(x)).compile().as_text().lower()
+    assert "all-gather" in hlo
+    for coll in ("all-reduce", "all-to-all", "reduce-scatter", "collective-permute"):
+        assert coll not in hlo, coll
+
+
+def test_sequence_sharded_graph_frontend_chain(rng):
+    """Resample -> Spectrogram(center=False) -> MelProject through the
+    Graph-level SP surface: equals the unsharded chain on the fully-covered
+    frames; collectives are halo ppermutes only."""
+    from audioflow_tpu.graph import MelProject, Resample, Spectrogram, chain
+    from audioflow_tpu.parallel import compile_sharded, make_mesh
+
+    mesh = make_mesh(8)
+    g = chain(
+        Resample(48000, 16000, "kaiser"),
+        Spectrogram(512, 128, center=False),
+        MelProject(n_mels=32),
+        input_rate=48000,
+    )
+    from audioflow_tpu.ops.resample import make_plan
+
+    ipb = make_plan(48000, 16000, "kaiser").ipb
+    t = 8 * ipb * 24  # divides resample blocks; 16k side divides hops
+    x = (0.3 * rng.standard_normal((2, t))).astype(np.float32)
+    fn = compile_sharded(g, mesh, shard="time")
+    out = np.asarray(fn(jnp.asarray(x)))
+    want = np.asarray(g.chain(jnp.asarray(x)))
+    n = want.shape[-2] - 4  # trailing frames: zero-tail convention
+    np.testing.assert_allclose(out[:, :n], want[:, :n], rtol=2e-4, atol=1e-5)
+    hlo = fn.lower(jnp.asarray(x)).compile().as_text().lower()
+    assert "collective-permute" in hlo  # the halos
+    for coll in ("all-reduce", "all-to-all", "reduce-scatter", "all-gather"):
+        assert coll not in hlo, coll
+
+
+def test_sequence_sharded_graph_dynamics_family(rng):
+    """Compressor and NoiseGate ride the shared max-plus envelope carry."""
+    from audioflow_tpu.graph import Compressor, Gain, NoiseGate, chain
+    from audioflow_tpu.parallel import compile_sharded, make_mesh
+
+    mesh = make_mesh(8)
+    g = chain(
+        Gain(3.0),
+        Compressor(threshold_db=-20.0, ratio=4.0),
+        NoiseGate(threshold_db=-55.0),
+        input_rate=16000,
+    )
+    x = (0.4 * rng.standard_normal((2, 8 * 4096))).astype(np.float32)
+    x[:, : 8 * 1024] *= 0.001  # exercise the gate region
+    out = np.asarray(compile_sharded(g, mesh, shard="time")(jnp.asarray(x)))
+    want = np.asarray(g.chain(jnp.asarray(x)))
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_sequence_sharded_graph_unsupported_raises(rng):
+    from audioflow_tpu.graph import Spectrogram, Stft, Vad, chain
+    from audioflow_tpu.parallel import compile_sharded, make_mesh, sequence_sharded_graph
+
+    mesh = make_mesh(8)
+    with pytest.raises(AudioError, match="Vad.*no sequence-parallel"):
+        sequence_sharded_graph(chain(Vad(), input_rate=16000), mesh)
+    with pytest.raises(AudioError, match="FFT.*not partition"):
+        sequence_sharded_graph(chain(Stft(512, 128, center=False), input_rate=16000), mesh)
+    with pytest.raises(AudioError, match="center=False"):
+        sequence_sharded_graph(chain(Spectrogram(512, 128, center=True), input_rate=16000), mesh)
+    with pytest.raises(AudioError, match="unknown shard mode"):
+        compile_sharded(chain(Spectrogram(512, 128, center=False), input_rate=16000), mesh, shard="nope")
