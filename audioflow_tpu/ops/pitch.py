@@ -118,6 +118,37 @@ def _acf_matmul(
     return mm(prod, jnp.asarray(inv), p)
 
 
+def _resolve_viterbi_impl(impl: str, ndim: int, n_bins: int, kernel_len: int) -> bool:
+    """True -> run the fused Pallas Viterbi forward (ops/pallas/viterbi.py).
+
+    "auto" currently KEEPS the XLA scan everywhere: the fused kernel
+    decodes bit-identically but measured 575.6 ms vs the scan's 84.9 ms at
+    the librosa-defaults benchmark (2026-08-21, B=64 x 10 s — the
+    roll-per-tap band over [128, 768] blocks exceeds Mosaic's register
+    budget and spills; bench_records/chip_r5_pyin.jsonl). Kept available
+    as a forced mode ("pallas"; interpret off-TPU — the exactness test
+    path) and as the substrate for a future register-tiled rewrite; the
+    honest-dead-end record lives in docs/ROADMAP.md item 0.
+    "xla" keeps the scan.
+    """
+    if impl in ("xla", "auto"):
+        return False
+    if impl != "pallas":
+        raise ValueError(
+            f"unknown viterbi impl {impl!r}; known: auto, xla, pallas"
+        )
+    from .pallas.viterbi import supported as _vit_supported
+
+    ok = ndim in (2, 3) and _vit_supported(n_bins, kernel_len)
+    if not ok:
+        raise ValueError(
+            "viterbi_impl='pallas' needs [F, L] or [B, F, L] frames and "
+            f"a supported band (got ndim={ndim}, n_bins={n_bins}, "
+            f"kernel_len={kernel_len})"
+        )
+    return True
+
+
 def _resolve_acf_impl(impl: str) -> str:
     if impl == "auto":
         return "matmul" if jax.default_backend() == "tpu" else "fft"
@@ -339,6 +370,7 @@ def pyin_frames(
     max_transition_rate: float = 35.92,
     impl: str = "auto",
     precision: str | None = None,
+    viterbi_impl: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """pYIN from frames ``[..., F, L]`` -> ``(f0_hz, voiced_flag, voiced_prob)``.
 
@@ -357,6 +389,11 @@ def pyin_frames(
 
     ``hop`` is the analysis hop in samples — it scales the per-frame pitch
     transition width; pass the hop the frames were cut with.
+
+    ``viterbi_impl``: "auto"/"xla" (the scan — measured FASTER than the
+    fused kernel on chip, see :func:`_resolve_viterbi_impl`) | "pallas"
+    (the fused forward pass ops/pallas/viterbi.py, forced; bit-identical
+    decode, interpret-mode off-TPU — the exactness test path).
     """
     if not 0.0 < switch_prob < 1.0:
         raise ValueError(f"switch_prob must be in (0, 1), got {switch_prob}")
@@ -389,25 +426,49 @@ def pyin_frames(
     ov = jnp.moveaxis(log_obs_v, -2, 0)  # [F, ..., N]
     ou = jnp.moveaxis(log_obs_u, -2, 0)
     log_init = jnp.asarray(-np.log(2 * n_bins), dtype)
-    dv0 = log_init + ov[0]
-    du0 = log_init + ou[0]
 
-    def vit_step(carry, obs_t):
-        dv, du = carry
-        lv, lu = obs_t
-        bv, av = max_plus_band_argmax(dv, log_kernel)
-        bu, au = max_plus_band_argmax(du, log_kernel)
-        sv, su = bv + log_stay, bu + log_switch
-        pick_v = su > sv  # source is the unvoiced track
-        new_v = lv + jnp.where(pick_v, su, sv)
-        off_v = jnp.where(pick_v, au, av)
-        sv2, su2 = bv + log_switch, bu + log_stay
-        pick_u = su2 > sv2
-        new_u = lu + jnp.where(pick_u, su2, sv2)
-        off_u = jnp.where(pick_u, au, av)
-        return (new_v, new_u), (off_v, pick_v, off_u, pick_u)
+    if _resolve_viterbi_impl(viterbi_impl, log_obs_v.ndim, n_bins, 2 * half + 1):
+        # fused Pallas forward pass: identical band/merge/tie semantics
+        # (ops/pallas/viterbi.py), backpointers int8 — the backtrace below
+        # is shared verbatim with the XLA path
+        from .pallas.viterbi import pyin_viterbi_forward
 
-    (dv, du), bps = jax.lax.scan(vit_step, (dv0, du0), (ov[1:], ou[1:]))
+        unbatched = ov.ndim == 2
+        ov3 = ov[:, None] if unbatched else ov
+        ou3 = ou[:, None] if unbatched else ou
+        tri = 1.0 - np.abs(np.arange(-half, half + 1, dtype=np.float64)) / (half + 1.0)
+        dv, du, off8, pick8 = pyin_viterbi_forward(
+            ov3, ou3, np.log(tri / tri.sum()),
+            -np.log(2 * n_bins), float(np.log1p(-switch_prob)),
+            float(np.log(switch_prob)),
+            interpret=jax.default_backend() != "tpu",
+        )
+        if unbatched:
+            dv, du, off8, pick8 = dv[0], du[0], off8[:, :, 0], pick8[:, :, 0]
+        bps = (
+            off8[1:, 0].astype(jnp.int32), pick8[1:, 0].astype(bool),
+            off8[1:, 1].astype(jnp.int32), pick8[1:, 1].astype(bool),
+        )
+    else:
+        dv0 = log_init + ov[0]
+        du0 = log_init + ou[0]
+
+        def vit_step(carry, obs_t):
+            dv, du = carry
+            lv, lu = obs_t
+            bv, av = max_plus_band_argmax(dv, log_kernel)
+            bu, au = max_plus_band_argmax(du, log_kernel)
+            sv, su = bv + log_stay, bu + log_switch
+            pick_v = su > sv  # source is the unvoiced track
+            new_v = lv + jnp.where(pick_v, su, sv)
+            off_v = jnp.where(pick_v, au, av)
+            sv2, su2 = bv + log_switch, bu + log_stay
+            pick_u = su2 > sv2
+            new_u = lu + jnp.where(pick_u, su2, sv2)
+            off_u = jnp.where(pick_u, au, av)
+            return (new_v, new_u), (off_v, pick_v, off_u, pick_u)
+
+        (dv, du), bps = jax.lax.scan(vit_step, (dv0, du0), (ov[1:], ou[1:]))
     both = jnp.concatenate([dv, du], axis=-1)
     last = jnp.argmax(both, axis=-1).astype(jnp.int32)
 

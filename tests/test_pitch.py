@@ -407,3 +407,36 @@ def test_online_pyin_plan_validation():
         ops.make_online_pyin_plan(8000, resolution=0.0)
     with pytest.raises(ValueError):
         ops.make_online_pyin_plan(8000, switch_prob=1.5)
+
+
+def test_pyin_pallas_viterbi_exact(rng):
+    """The fused Pallas Viterbi forward (ops/pallas/viterbi.py, interpret
+    mode on CPU) decodes BIT-IDENTICALLY to the XLA scan — band, track
+    merge, and tie conventions transcribed exactly — for unbatched and
+    batched frames. On TPU the auto path dispatches to it (the defaults
+    tracker's scan stage is dispatch-bound; measured on chip,
+    BENCHMARKS.md)."""
+    sr = 16000
+    t = np.arange(16000) / sr
+    x = (0.5 * np.sin(2 * np.pi * (220 + 8 * np.sin(2 * np.pi * 3 * t)) * t)).astype(
+        np.float32
+    )
+    x[6000:8000] = 0.001 * rng.standard_normal(2000)  # unvoiced gap
+    xb = np.stack([x, np.roll(x, 1000)])
+    for sig in (x, xb):
+        a = ops.pyin(jnp.asarray(sig), sr, 80, 1200, resolution=0.5,
+                     n_thresholds=32, viterbi_impl="xla")
+        b = ops.pyin(jnp.asarray(sig), sr, 80, 1200, resolution=0.5,
+                     n_thresholds=32, viterbi_impl="pallas")
+        for name, av, bv in zip(("f0", "vflag", "vprob"), a, b):
+            np.testing.assert_array_equal(np.asarray(av), np.asarray(bv), err_msg=name)
+
+
+def test_pyin_viterbi_impl_validation():
+    x = jnp.zeros(8000, jnp.float32)
+    with pytest.raises(ValueError, match="viterbi impl"):
+        ops.pyin(x, 16000, 80, 1200, viterbi_impl="nope")
+    # 4-d frames have no pallas mapping; forcing it must raise, auto falls back
+    fr = jnp.zeros((2, 2, 8, 2048), jnp.float32)
+    with pytest.raises(ValueError, match="pallas"):
+        ops.pyin_frames(fr, 16000, 80, 1200, viterbi_impl="pallas")
