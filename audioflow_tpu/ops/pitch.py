@@ -44,6 +44,42 @@ ACF_PRECISION_DEFAULT = "high"  # bf16x3: 1e-5-scale acf error, 0.004 Hz p99 f0
 # docs/ROADMAP.md.
 _CAND_UNROLL = 8
 
+#: half-width of the matmul histogram's deviation window (see the histogram
+#: comment in _pyin_observations): host analysis proves |bin - base| <= 2
+#: for the matmul-group lags in float64, +1 margin for device f32 rounding
+#: at .5 boundaries
+_BIN_SPLIT_D = 3
+
+
+@lru_cache(maxsize=32)
+def _pyin_bin_split(sample_rate, fmin, n_bins, nbps, l_grid, dmax):
+    """Host split of the candidate-histogram lag grid: (l_star, base,
+    s0ext). ``base[l]`` is the pitch bin of INTEGER lag l; ``l_star`` is
+    the smallest lag index such that every lag >= l_star keeps its whole
+    parabolic-refinement bin interval (endpoints lag -/+ 0.5, clipping
+    included, float64) within ``dmax - 1`` of base — the -1 is the safety
+    margin for device f32 rounding at .5 boundaries. ``s0ext`` is the
+    one-hot lag->bin bank ``[l_grid - l_star, n_bins + 2*dmax]`` with
+    ``s0ext[j, dmax + base[l_star + j]] = 1``."""
+    ls = np.arange(l_grid, dtype=np.float64)
+
+    def bin_of(f):
+        return np.clip(
+            np.round(12.0 * nbps * np.log2(np.maximum(f, 1e-9) / fmin)),
+            0, n_bins - 1,
+        ).astype(np.int64)
+
+    base = bin_of(sample_rate / np.maximum(ls, 1.0))
+    lo = bin_of(sample_rate / np.maximum(ls + 0.5, 1.0))
+    hi = bin_of(sample_rate / np.maximum(ls - 0.5, 1.0))
+    ok = (np.abs(lo - base) <= dmax - 1) & (np.abs(hi - base) <= dmax - 1)
+    bad = np.nonzero(~ok)[0]
+    l_star = int(bad.max()) + 1 if len(bad) else 0
+    s0 = np.zeros((l_grid - l_star, n_bins + 2 * dmax), np.float32)
+    if l_star < l_grid:
+        s0[np.arange(l_grid - l_star), dmax + base[l_star:]] = 1.0
+    return l_star, base.astype(np.int32), s0
+
 
 @lru_cache(maxsize=32)
 def _dft_corr_parts(
@@ -468,20 +504,32 @@ def pyin_frames(
             off_u = jnp.where(pick_u, au, av)
             return (new_v, new_u), (off_v, pick_v, off_u, pick_u)
 
-        (dv, du), bps = jax.lax.scan(vit_step, (dv0, du0), (ov[1:], ou[1:]))
+        # unroll=4: the message carries round-trip HBM once per 4 frames
+        # instead of every frame (defaults 79.0 -> ~68.5 ms on chip;
+        # unroll=2 captures most of it, 8 regresses on register pressure —
+        # bench_records/chip_r5_pyin.jsonl)
+        (dv, du), bps = jax.lax.scan(
+            vit_step, (dv0, du0), (ov[1:], ou[1:]), unroll=4
+        )
     both = jnp.concatenate([dv, du], axis=-1)
     last = jnp.argmax(both, axis=-1).astype(jnp.int32)
+
+    ngrid_b = jnp.arange(n_bins, dtype=jnp.int32)
 
     def back(state, bp):
         off_v, pick_v, off_u, pick_u = bp
         unvoiced = state >= n_bins
         b = state - n_bins * unvoiced.astype(jnp.int32)
-        off_vb = jnp.take_along_axis(off_v, b[..., None], axis=-1)[..., 0]
-        pv_b = jnp.take_along_axis(pick_v, b[..., None], axis=-1)[..., 0]
-        off_ub = jnp.take_along_axis(off_u, b[..., None], axis=-1)[..., 0]
-        pu_b = jnp.take_along_axis(pick_u, b[..., None], axis=-1)[..., 0]
-        off = jnp.where(unvoiced, off_ub, off_vb).astype(jnp.int32)
-        src_u = jnp.where(unvoiced, pu_b, pv_b)
+        # gather-free width-1 reads: TPU lowers the take_along_axis form of
+        # this walk poorly (~15 ms of the 85 ms defaults tracker — 24 us
+        # per backward step for four [B, N] single-element gathers); the
+        # one-hot masked REDUCE is dense vector work, measured ~10x cheaper
+        # (bench_records/chip_r5_pyin.jsonl)
+        hot = ngrid_b == b[..., None]  # [.., N]
+        offs = jnp.where(unvoiced[..., None], off_u, off_v).astype(jnp.int32)
+        picks = jnp.where(unvoiced[..., None], pick_u, pick_v)
+        off = jnp.sum(jnp.where(hot, offs, 0), axis=-1)
+        src_u = jnp.sum(jnp.where(hot & picks, 1, 0), axis=-1) > 0
         prev_bin = jnp.clip(b + off - half, 0, n_bins - 1)
         prev = prev_bin + n_bins * src_u.astype(jnp.int32)
         return prev, state
@@ -494,12 +542,16 @@ def pyin_frames(
     voiced_flag = states < n_bins
     bin_dec = states - n_bins * (~voiced_flag).astype(jnp.int32)
 
-    # refine: the decoded bin's best candidate (if any) carries the f0
+    # refine: the decoded bin's best candidate (if any) carries the f0 —
+    # first-max one-hot reduce instead of argmax + take_along_axis (same
+    # gather-avoidance as the backtrace; identical tie rule)
     cand_mask = trough & (bins == bin_dec[..., None])
     score = jnp.where(cand_mask, prob, -1.0)
-    li = jnp.argmax(score, axis=-1)
-    found = jnp.take_along_axis(score, li[..., None], axis=-1)[..., 0] > 0.0
-    f0_cand = jnp.take_along_axis(f0_lag, li[..., None], axis=-1)[..., 0]
+    mx = jnp.max(score, axis=-1)
+    found = mx > 0.0
+    hit = score == mx[..., None]
+    hit = hit & (jnp.cumsum(hit, axis=-1) == 1)
+    f0_cand = jnp.sum(jnp.where(hit, f0_lag, 0.0), axis=-1)
     centers = _pitch_bin_centers(fmin, n_bins, nbps, dtype)
     f0 = jnp.where(found, f0_cand, centers[bin_dec])
     return f0, voiced_flag, voiced_prob
@@ -656,25 +708,54 @@ def _pyin_observations(
         0,
         n_bins - 1,
     )
-    # histogram candidates into bins as a lag-axis one-hot scan: the
-    # per-row scatter-add (.at[rows, bins].add) costs 112.7 ms at the
-    # benchmark config — TPU scatter is serial-emulated — while the scan's
-    # [.., F, n_bins] accumulator stays VMEM-resident across steps: 16 ms,
-    # bit-identical (scripts/chip_r3_pyin2.py)
+    # histogram candidates into bins. History: the per-row scatter-add
+    # (.at[rows, bins].add) costs 112.7 ms at the benchmark config — TPU
+    # scatter is serial-emulated; the r3 lag-axis one-hot scan got it to
+    # 16 ms but is VPU-compute-bound (L x n_bins compares; unroll>8
+    # measured WORSE — register pressure). r5 splits by bin deviation:
+    # a candidate's bin is the STATIC bin of its integer lag plus a small
+    # data-dependent offset d (the parabolic delta moves frequency by at
+    # most +/-0.5 lag), and for all but the shortest lags |d| <= 2 — so
+    # that lag range reduces to 5 masked MXU matmuls against a fixed
+    # one-hot lag->bin bank (sum reordered: f32 reassociation ~1e-7, far
+    # inside the 5e-3 oracle budget), and only the short-lag head keeps
+    # the compare scan. Measured on chip in bench_records/chip_r5_pyin.jsonl.
     ngrid = jnp.arange(n_bins, dtype=jnp.int32)
-    prob_l_t = jnp.moveaxis(prob, -1, 0)  # [L, .., F]
-    bins_t = jnp.moveaxis(bins, -1, 0)
-
-    def bin_step(acc, inp):
-        p, b = inp
-        return acc + jnp.where(b[..., None] == ngrid, p[..., None], 0.0), None
-
-    obs_v, _ = jax.lax.scan(
-        bin_step,
-        jnp.zeros((*dn.shape[:-1], n_bins), dtype),
-        (prob_l_t, bins_t),
-        unroll=_CAND_UNROLL,
+    l_grid = dn.shape[-1]
+    l_star, base_np, s0ext = _pyin_bin_split(
+        float(sample_rate), float(fmin), n_bins, nbps, l_grid, _BIN_SPLIT_D
     )
+    acc0 = jnp.zeros((*dn.shape[:-1], n_bins), dtype)
+    if l_star < l_grid:
+        base_t = jnp.asarray(base_np[l_star:], jnp.int32)
+        prob_g = prob[..., l_star:]
+        dev = bins[..., l_star:] - base_t
+        parts = []
+        for d in range(-_BIN_SPLIT_D, _BIN_SPLIT_D + 1):
+            pg = jnp.where(dev == d, prob_g, 0.0)
+            yd = mm(pg, jnp.asarray(s0ext), precision or ACF_PRECISION_DEFAULT)
+            parts.append(
+                jax.lax.slice_in_dim(
+                    yd, _BIN_SPLIT_D - d, _BIN_SPLIT_D - d + n_bins, axis=-1
+                )
+            )
+        obs_m = parts[0]
+        for p_d in parts[1:]:
+            obs_m = obs_m + p_d
+        acc0 = acc0 + obs_m
+    if l_star > 0:
+        prob_l_t = jnp.moveaxis(prob[..., :l_star], -1, 0)  # [Lh, .., F]
+        bins_t = jnp.moveaxis(bins[..., :l_star], -1, 0)
+
+        def bin_step(acc, inp):
+            p, b = inp
+            return acc + jnp.where(b[..., None] == ngrid, p[..., None], 0.0), None
+
+        obs_v, _ = jax.lax.scan(
+            bin_step, acc0, (prob_l_t, bins_t), unroll=_CAND_UNROLL
+        )
+    else:
+        obs_v = acc0
     f0_lag = f0_lag * jnp.ones_like(dn)  # broadcast to the full lag grid
     return obs_v, voiced_prob, trough, prob, f0_lag, bins, n_bins, nbps
 
@@ -889,25 +970,28 @@ def online_pyin_step(
         )
         vp_ring = jnp.concatenate([vp_f[..., None], c["vp"][..., :-1]], axis=-1)
 
-        # fixed-lag decode: argmax now, walk `lag` prev maps back
+        # fixed-lag decode: argmax now, walk `lag` prev maps back. The
+        # walk's width-1 reads are one-hot masked REDUCES, not
+        # take_along_axis — TPU lowers the gather form poorly (same
+        # finding as the offline backtrace; bench_records/chip_r5_pyin.jsonl)
         s = jnp.argmax(jnp.concatenate([dv, du], axis=-1), axis=-1).astype(
             jnp.int32
         )
+        grid2 = jnp.arange(2 * n_bins, dtype=jnp.int32)
         for k in range(lag):
-            s = jnp.take_along_axis(prev_ring[..., k, :], s[..., None], axis=-1)[
-                ..., 0
-            ]
+            hot = grid2 == s[..., None]
+            s = jnp.sum(jnp.where(hot, prev_ring[..., k, :], 0), axis=-1)
         unvoiced = s >= n_bins
         b = s - n_bins * unvoiced.astype(jnp.int32)
         sc_e = score_ring[..., lag, :]
         cand = jnp.where(
             (bins_ring[..., lag, :] == b[..., None]) & (sc_e > 0.0), sc_e, -1.0
         )
-        li = jnp.argmax(cand, axis=-1)
-        found = jnp.take_along_axis(cand, li[..., None], axis=-1)[..., 0] > 0.0
-        f0_cand = jnp.take_along_axis(
-            f0_ring[..., lag, :], li[..., None], axis=-1
-        )[..., 0]
+        mx = jnp.max(cand, axis=-1)
+        found = mx > 0.0
+        hit = cand == mx[..., None]
+        hit = hit & (jnp.cumsum(hit, axis=-1) == 1)  # first max == argmax tie rule
+        f0_cand = jnp.sum(jnp.where(hit, f0_ring[..., lag, :], 0.0), axis=-1)
         f0 = jnp.where(found, f0_cand, centers[b])
         out = (f0, ~unvoiced, vp_ring[..., lag])
 
