@@ -630,6 +630,7 @@ def _icqt_hybrid(
     precision: str | None,
     score_gate: float = 0.5,
     mag_floor: float = 1e-3,
+    max_components: int = 16,
 ) -> jnp.ndarray:
     """Hybrid inverse CQT for coarse hops (see :func:`_hybrid_design`).
 
@@ -753,10 +754,35 @@ def _icqt_hybrid(
     phase0 = jnp.arctan2(im, re)
     n_rel = jnp.arange(2 * hop, dtype=jnp.float32) - hop
     win = 0.5 - 0.5 * jnp.cos(2.0 * np.pi * jnp.arange(2 * hop) / (2 * hop))
+    # top-P component selection: the burst cos over [.., T, K, 2h] is the
+    # stage's hot spot (~9 of the hybrid's 25 ms at the knockout config —
+    # bench_records/chip_r5_icqt.jsonl); per frame only a handful of peaks
+    # survive the score gate, so synthesize the `max_components` largest
+    # weights only. EXACT whenever <= P components have wgt > 0 (every
+    # tonal case — the transform's signal model); dense noise frames drop
+    # their smallest components (their sin-branch output is documented
+    # garbage either way, see the icqt docstring). Selection is iterative
+    # first-max one-hot masking — no gathers, ties handled one per pass.
+    p_sel = min(int(max_components), n_bins)
+    cur = wgt
+    sel = []
+    for _ in range(p_sel):
+        mx = jnp.max(cur, axis=-1, keepdims=True)
+        hit = (cur == mx) & (mx > 0.0)
+        hit = hit & (jnp.cumsum(hit, axis=-1) == 1)
+        sel.append((
+            jnp.sum(jnp.where(hit, cur, 0.0), axis=-1),
+            jnp.sum(jnp.where(hit, f_hat, 0.0), axis=-1),
+            jnp.sum(jnp.where(hit, phase0, 0.0), axis=-1),
+        ))
+        cur = jnp.where(hit, -1.0, cur)
+    wgt_p = jnp.stack([s[0] for s in sel], axis=-1)  # [.., T, P]
+    f_p = jnp.stack([s[1] for s in sel], axis=-1)
+    ph0_p = jnp.stack([s[2] for s in sel], axis=-1)
     phase = (
-        (2.0 * np.pi / sample_rate) * f_hat[..., None] * n_rel + phase0[..., None]
-    )  # [.., T, K, 2h]  (XLA fuses the reduction below; never materialized)
-    burst = jnp.sum(wgt[..., None] * jnp.cos(phase), axis=-2) * win  # [.., T, 2h]
+        (2.0 * np.pi / sample_rate) * f_p[..., None] * n_rel + ph0_p[..., None]
+    )  # [.., T, P, 2h]  (XLA fuses the reduction below; never materialized)
+    burst = jnp.sum(wgt_p[..., None] * jnp.cos(phase), axis=-2) * win  # [.., T, 2h]
     # 50% OLA: true-coords block s = burst[s][h:] + burst[s+1][:h]
     half1, half2 = burst[..., :hop], burst[..., hop:]
     half1_next = jnp.concatenate(
@@ -789,18 +815,27 @@ def multirate_hops(
     """Per-octave analysis hops of the multirate CQT: each octave's hop is
     the largest power-of-two division of ``hop`` inside that octave's
     painless bound ``h_o <= N_min_o // 3`` (:func:`icqt_max_hop` applied
-    per octave — the shortest kernel IN the octave, not globally). At the
-    framework default (hop 256 / 84 bins / 16 kHz) this is
-    ``(256, 256, 256, 128, 64, 32, 16)``: the bottom three octaves keep the
-    user's hop, the top octave samples 16x finer — which is exactly why the
-    multirate transform is invertible where the fixed-hop one is not."""
+    per octave — the shortest kernel IN the octave, not globally) — except
+    the TOP octave, whose bound is ``N_min // 6`` (one extra halving):
+    interior octaves' upper spectral skirts are covered by the octave
+    above (their hop-alias images land where W is honest and cancel), but
+    the top octave's skirt faces the uncovered band beyond the last bin,
+    where W is regularization-floored while the duals' band mask is still
+    open inside the mainlobe — at the N/3 hop a tone at bin 80 of the
+    default config synthesized a clean alias image at f + sr/16 (measured
+    16.5 dB round-trip; the tighter hop clears the skirt and the full
+    84-bin sweep reads >= ~54 dB, bench_records/chip_r5_icqt_sweep.jsonl).
+    At the framework default (hop 256 / 84 bins / 16 kHz) the hops are
+    ``(256, 256, 256, 128, 64, 32, 8)``."""
     from ..errors import AudioError, ErrorCode
 
     lengths = cqt_lengths(sample_rate, n_bins, fmin, bins_per_octave, filter_scale)
+    n_oct = -(-n_bins // bins_per_octave)
     hops = []
-    for lo in range(0, n_bins, bins_per_octave):
+    for o, lo in enumerate(range(0, n_bins, bins_per_octave)):
         hi = min(lo + bins_per_octave, n_bins)
-        bound = max(1, int(lengths[lo:hi].min()) // 3)
+        div = 6 if o == n_oct - 1 else 3
+        bound = max(1, int(lengths[lo:hi].min()) // div)
         h = hop
         while h > bound:
             if h % 2:
@@ -890,26 +925,47 @@ def _multirate_design(
             sin_b[start : start + nk, j] = -g * w * np.sin(ang)
         octs.append((h, flen, cos_b, sin_b))
     nd = octs[0][1] * 2
-    # joint frame response with per-bin hop weighting
+    # joint frame response with per-bin hop weighting. TWO weightings: the
+    # division uses the TRUE hops; the regularization floor is referenced
+    # to the PAINLESS (N/3) hops — the top octave's extra halving (skirt
+    # aliasing, see multirate_hops) doubles W's peak, and a floor tracking
+    # that rescale over-regularizes the fmin band edge (bin 0 measured
+    # 40.5 dB at the N/3-referenced floor vs 23.4 dB tracking the
+    # tightened hop; scripts/proto_multirate_icqt.py study).
+    ref_hops = []
+    for lo in range(0, n_bins, bins_per_octave):
+        hi = min(lo + bins_per_octave, n_bins)
+        bound = max(1, int(lengths[lo:hi].min()) // 3)
+        h_ref = hop
+        while h_ref > bound:
+            h_ref //= 2
+        ref_hops.append(h_ref)
     w_pos = np.zeros(nd)
+    w_ref = np.zeros(nd)
     phs = []
-    for h, flen, cos_b, sin_b in octs:
+    for (h, flen, cos_b, sin_b), h_ref in zip(octs, ref_hops):
         psi = cos_b.T - 1j * sin_b.T  # [nb, flen]; psi = g w exp(i ang)
         psi_p = np.zeros((psi.shape[0], nd), complex)
         off = nd // 2 - flen // 2
         psi_p[:, off : off + flen] = psi
         ph = np.fft.fft(psi_p, axis=1)
         phs.append(ph)
-        w_pos += (np.abs(ph) ** 2).sum(0) / h
+        e2 = (np.abs(ph) ** 2).sum(0)
+        w_pos += e2 / h
+        w_ref += e2 / h_ref
     w_neg = np.empty_like(w_pos)
     w_neg[0] = w_pos[0]
     w_neg[1:] = w_pos[1:][::-1]
     w_tot = w_pos + w_neg
+    w_ref_tot = w_ref.copy()
+    w_ref_tot[1:] += w_ref[1:][::-1]
+    w_ref_tot[0] += w_ref[0]
+    floor = eps * w_ref_tot.max()
     duals = []
     for (h, flen, _cb, _sb), ph in zip(octs, phs):
         amp = np.abs(ph)
         mask = amp >= amp.max(axis=1, keepdims=True) * 10.0 ** (-mask_db / 20.0)
-        d_hat = ph * mask / np.maximum(w_tot, eps * w_tot.max())[None, :]
+        d_hat = ph * mask / np.maximum(w_tot, floor)[None, :]
         d = np.fft.ifft(d_hat, axis=1)
         bank = np.concatenate([2.0 * d.real, -2.0 * d.imag], axis=0)  # [2nb, nd]
         span = min(nd, max(4 * flen, 32 * h))
@@ -920,7 +976,16 @@ def _multirate_design(
             t = np.abs(np.arange(span) - (span - 1) / 2.0)
             u = np.clip((t - span / 4.0) / (span / 4.0), 0.0, 1.0)
             sub = sub * (0.5 * (1.0 + np.cos(np.pi * u)))[None, :]
-        duals.append((lo0, sub.astype(np.float32)))
+        # synthesis as a Tb-tap hop-block feature conv (the _hybrid_design
+        # kern trick): y_blk[S, r] = sum_q ri[S-q] @ sub[:, q*h + r] — no
+        # [T_o, span] frame tensor is materialized (the frames+overlap_add
+        # form measured 36.6 ms vs the conv's ~8 at the knockout config,
+        # bench_records/chip_r5_icqt.jsonl)
+        tb = span // h
+        nb2 = sub.shape[0]
+        kern = sub.reshape(nb2, tb, h)[:, ::-1, :]
+        kern = np.ascontiguousarray(np.transpose(kern, (2, 0, 1)))  # [h, 2nb, Tb]
+        duals.append((lo0, sub.astype(np.float32), kern.astype(np.float32)))
     fwd = [
         (h, flen, np.concatenate([cb, sb], axis=1).astype(np.float32))
         for h, flen, cb, sb in octs
@@ -1079,7 +1144,7 @@ def icqt_multirate(
     ``length`` defaults to ``(T_top - 1) * hops[-1]`` (the forward's exact
     input length). Edge transients span ``nd/2`` samples each side.
     """
-    from .framing import overlap_add
+    from ._mm import _PRECISIONS
 
     if not isinstance(c, MultirateCqt):
         raise TypeError(
@@ -1096,17 +1161,32 @@ def icqt_multirate(
         m.sample_rate, m.hop, m.n_bins, m.fmin, m.bins_per_octave, m.window,
         m.filter_scale,
     )
-    prec = precision or DFT_PRECISION_DEFAULT
-    nd = dz["nd"]
+    prec = _PRECISIONS[precision or DFT_PRECISION_DEFAULT]
     if length is None:
         length = (c.octaves[-1].shape[-2] - 1) * m.hops[-1]
     y = None
-    for (h, _flen, _bank), (lo0, dual), co in zip(dz["octs"], dz["duals"], c.octaves):
+    for (h, _flen, _bank), (_lo0, dual, kern), co in zip(
+        dz["octs"], dz["duals"], c.octaves
+    ):
+        span = dual.shape[1]
+        tb = span // h
         ri = jnp.concatenate([jnp.real(co), jnp.imag(co)], axis=-1)
-        frames = mm(ri, jnp.asarray(dual), prec)  # [..., T_o, span]
-        ola = overlap_add(frames, h)  # index i <-> sample i + lo0 - nd//2
-        start = nd // 2 - lo0  # == span // 2, >= 0
-        seg = ola[..., start:]
+        lead = ri.shape[:-2]
+        t_o = ri.shape[-2]
+        # hop-block feature conv (see _multirate_design): OLA coord i of the
+        # result <-> output sample i - span//2 (frame t's dual is centered
+        # at t*h for center=True)
+        lhs = ri.reshape(-1, t_o, ri.shape[-1]).transpose(0, 2, 1)
+        y_blk = jax.lax.conv_general_dilated(
+            lhs,
+            jnp.asarray(kern),  # [h(out), 2nb(in), Tb(spatial)]
+            window_strides=(1,),
+            padding=[(tb - 1, tb - 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=prec,
+        )  # [B, h, T_o + Tb - 1]
+        ola = y_blk.transpose(0, 2, 1).reshape(lead + (-1,))
+        seg = ola[..., span // 2 :]
         if seg.shape[-1] < length:
             pads = [(0, 0)] * (seg.ndim - 1) + [(0, length - seg.shape[-1])]
             seg = jnp.pad(seg, pads)

@@ -296,14 +296,20 @@ def run_validation(seed: int = 0) -> dict:
 
     # multirate CQT (cqt(multirate=True), per-octave painless hops): TRUE
     # broadband inversion at the framework default config — the same noise
-    # band and harmonic complex the hybrid fails, gated >= 30 dB (negated
-    # convention; design f64 measured 60.0 / 57.3 dB, f32 on CPU matches).
+    # band and harmonic complex the hybrid fails, PLUS the top-octave skirt
+    # tones (bins 79-81: the alias-image failure mode the r5 full-bin sweep
+    # caught at the N/3 top hop — multirate_hops docstring) and the edge
+    # pair (0, 83). Gated >= 30 dB (negated convention; design f64
+    # measured 60.0 / 57.3 dB broadband, >= ~54 dB sweep-worst tone).
     icqt_mr = _jx.jit(
         lambda z: ops.icqt(
             ops.cqt(z, 16000, multirate=True, output="complex"), length=t_hyb
         )
     )
-    xb_m = np.stack([noise_hi, harm]).astype(np.float32)
+    mr_tones = [
+        np.sin(2 * np.pi * hyb_freqs[k] * nv / 16000.0) for k in (0, 79, 80, 81, 83)
+    ]
+    xb_m = np.stack([noise_hi, harm] + mr_tones).astype(np.float32)
     yb_m = np.asarray(icqt_mr(jnp.asarray(xb_m)))
     e_m = yb_m[:, lo:hi] - xb_m[:, lo:hi]
     snr_m = 10.0 * np.log10(

@@ -35,9 +35,13 @@ import jax.numpy as jnp
 
 emit(stage="backend", backend=jax.default_backend())
 
-from audioflow_tpu import ops
+import importlib
+
+from audioflow_tpu import ops  # noqa: F401
 from audioflow_tpu.obs.metrics import measure_throughput
-from audioflow_tpu.ops import cqt as C
+
+# ops.cqt the attribute is the re-exported FUNCTION; fetch the module
+C = importlib.import_module("audioflow_tpu.ops.cqt")
 
 SR, HOP, NB = 16000, 256, 84
 B, SECS = 16, 10.0

@@ -657,15 +657,42 @@ def test_cqt_multirate_roundtrip_broadband():
         assert snr >= bar, (i, snr)
 
 
+def test_cqt_multirate_tone_sweep():
+    """Sampled-bin tone sweep of the multirate round trip (every 4th bin
+    plus the top-octave skirt bins 79-81 that the r4-style sampled tests
+    MISSED — the full-bin chip sweep caught an alias-image failure there
+    at the N/3 top hop; fixed by the tighter top-octave bound, see
+    ops.multirate_hops). One batched jitted call; bar 30 dB every bin
+    (chip sweep reads >= ~54 dB)."""
+    sr, t_len = 16000, 48000
+    freqs = ops.cqt_frequencies(84)
+    bins = sorted(set(range(0, 84, 4)) | {79, 80, 81, 83})
+    xb = np.stack([
+        np.sin(2 * np.pi * freqs[k] * np.arange(t_len) / sr + 0.37) for k in bins
+    ]).astype(np.float32)
+
+    @jax.jit
+    def rt(x):
+        return ops.icqt(ops.cqt(x, sr, multirate=True, output="complex"),
+                        length=t_len)
+
+    y = np.asarray(rt(jnp.asarray(xb)))
+    edge = 17000
+    for i, k in enumerate(bins):
+        snr = _tone_snr(y[i], xb[i], edge, t_len - edge)
+        assert snr >= 30.0, (k, snr)
+
+
 def test_cqt_multirate_hops_and_grid():
     sr = 16000
     hops = ops.multirate_hops(sr)
-    assert hops == (256, 256, 256, 128, 64, 32, 16)
-    # each hop within its octave's painless bound
+    assert hops == (256, 256, 256, 128, 64, 32, 8)
+    # each hop within its octave's painless bound (top octave: the
+    # tighter skirt bound, ops.multirate_hops docstring)
     lengths = ops.cqt_lengths(sr, 84)
     for o, h in enumerate(hops):
         n_min = int(lengths[o * 12 : (o + 1) * 12].min())
-        assert h <= n_min // 3
+        assert h <= n_min // (6 if o == len(hops) - 1 else 3)
     # to_grid == the fixed-hop cqt at the common frames (same kernels)
     rng = np.random.default_rng(5)
     x = (0.3 * rng.standard_normal(32000)).astype(np.float32)
