@@ -40,7 +40,10 @@ _GRAPHS = (
 )
 
 
-def _build_graph(name: str, input_rate: int, cfg, streaming: bool = False):
+def _build_graph(
+    name: str, input_rate: int, cfg, streaming: bool = False,
+    multirate: bool = False,
+):
     from .models import (
         eq_chain_graph,
         log_mel_frontend,
@@ -105,11 +108,21 @@ def _build_graph(name: str, input_rate: int, cfg, streaming: bool = False):
 
         return cqt_frontend(input_rate, a.hop)
     if name == "cqtroundtrip":
-        # audio -> complex CQT -> audio through the inverse (hybrid past the
-        # painless cliff — ops/cqt.py::icqt); exercises the analysis and
-        # synthesis banks end to end on real material
-        from .graph import Cqt, Icqt
+        # audio -> complex CQT -> audio through the inverse; exercises the
+        # analysis and synthesis banks end to end on real material.
+        # Default: the fixed-hop transform (hybrid inverse past the
+        # painless cliff — tonal content only, ops/cqt.py::icqt).
+        # --multirate: the broadband-invertible per-octave-hop variant
+        # (one wrapper node; the octave pytree never leaves it).
         from .graph import chain as _chain
+
+        if multirate:
+            from .graph import CqtRoundTripMultirate
+
+            return _chain(
+                CqtRoundTripMultirate(hop=a.hop), input_rate=input_rate,
+            )
+        from .graph import Cqt, Icqt
 
         return _chain(
             Cqt(hop=a.hop, output="complex", impl="onedot"),
@@ -285,7 +298,8 @@ def cmd_run(args) -> int:
             with open(args.spec) as f:
                 g = graph_from_spec(json.load(f))
         else:
-            g = _build_graph(args.graph, input_rate, cfg)
+            g = _build_graph(args.graph, input_rate, cfg,
+                             multirate=getattr(args, "multirate", False))
         mesh = None
         if args.sharded:
             from .parallel import make_mesh
@@ -313,7 +327,8 @@ def cmd_run(args) -> int:
         with open(args.spec) as f:
             g = graph_from_spec(json.load(f))
     else:
-        g = _build_graph(args.graph, input_rate, cfg)
+        g = _build_graph(args.graph, input_rate, cfg,
+                         multirate=getattr(args, "multirate", False))
 
     from .obs import RunMetrics, Timer
 
@@ -830,6 +845,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--input-rate", type=int)
     r.add_argument("--batch-size", type=int, default=0, help="pipeline files in batches of this size")
     r.add_argument("--sharded", action="store_true", help="shard batch over all devices")
+    r.add_argument("--multirate", action="store_true",
+                   help="cqtroundtrip only: the broadband-invertible "
+                   "per-octave-hop CQT variant (ops.cqt_multirate)")
     r.add_argument("--config")
     r.add_argument("--stats")
     r.set_defaults(fn=cmd_run)

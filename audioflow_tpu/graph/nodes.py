@@ -1360,6 +1360,43 @@ class Icqt(Node):
 
 @register_node
 @dataclass(frozen=True)
+class CqtRoundTripMultirate(Node):
+    """samples -> multirate CQT -> exact inverse -> samples in ONE node
+    (ops/cqt.py::cqt_multirate + icqt_multirate — the broadband-invertible
+    variant; per-octave painless hops, >= ~40 dB worst-case round trip at
+    the default config vs the hybrid's tone-only reconstruction). The
+    per-octave coefficient pytree stays INTERNAL to the node: its octaves
+    carry different frame rates, which do not fit the graph's fixed-grid
+    frames dataflow — this node is the Graph/CLI surface for the
+    invertible transform (`audioflow run -g cqtroundtrip --multirate`).
+    Offline only (the joint dual support spans nd/2 samples each side)."""
+
+    hop: int = 256
+    n_bins: int = 84
+    fmin: float = ops.FMIN_C1
+    bins_per_octave: int = 12
+    window: str = "hann"
+    filter_scale: float = 1.0
+    precision: str | None = None
+    sample_rate: int | None = None
+    streamable = False
+
+    def apply(self, x):
+        if self.sample_rate is None:
+            raise AudioError(
+                "CqtRoundTripMultirate.sample_rate unresolved; set "
+                "input_rate on the graph"
+            )
+        c = ops.cqt_multirate(
+            x, self.sample_rate, self.hop, self.n_bins, self.fmin,
+            self.bins_per_octave, self.window, self.filter_scale,
+            precision=self.precision,
+        )
+        return ops.icqt_multirate(c, length=x.shape[-1], precision=self.precision)
+
+
+@register_node
+@dataclass(frozen=True)
 class GriffinLim(Node):
     """Magnitude frames -> waveform via fast Griffin-Lim (iterative
     ISTFT/STFT projections, ops/griffinlim.py). Whole-signal iterative —

@@ -478,3 +478,27 @@ def test_cli_separate(tmp_path, capsys):
     assert out["residual_rel"] < 0.2
     import os as _os
     assert all(_os.path.exists(c) for c in out["components"])
+
+
+def test_cli_cqtroundtrip_multirate(tmp_path, capsys):
+    """`run -g cqtroundtrip --multirate` routes through the
+    CqtRoundTripMultirate wrapper node (the broadband-invertible variant's
+    Graph/CLI surface) and reconstructs a real file at high SNR."""
+    t = np.arange(32000) / 16000.0
+    x = (0.4 * np.sin(2 * np.pi * 523.25 * t)).astype(np.float32)
+    p = tmp_path / "tone.wav"
+    write_wav(p, x, 16000)
+    out = tmp_path / "out.wav"
+    assert cli_main(["run", "-i", str(p), "-g", "cqtroundtrip",
+                     "--multirate", "-o", str(out)]) == 0
+    row = json.loads(capsys.readouterr().out)
+    assert row["failed_files"] == 0
+    from audioflow_tpu.io import read_audio
+
+    y, sr = read_audio(str(out))
+    assert sr == 16000
+    n = min(len(y), len(x))
+    lo, hi = 8000, n - 8000
+    e = y[lo:hi] - x[lo:hi]
+    snr = 10 * np.log10((x[lo:hi] ** 2).sum() / max((e ** 2).sum(), 1e-30))
+    assert snr >= 30.0, snr
