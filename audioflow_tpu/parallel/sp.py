@@ -506,6 +506,39 @@ def _sequence_sharded_framed(
     return fn(jax.device_put(x, NamedSharding(mesh, P(None, axis))))
 
 
+def _sequence_sharded_preemphasis(
+    x: jnp.ndarray, mesh: Mesh, coeff: float, axis: str
+):
+    """Time-sharded first-order pre-emphasis: one 1-sample left halo
+    ppermute; shard 0 applies the Kaldi position-0 convention (prev of the
+    very first sample is the sample itself — graph/nodes.py Preemphasis),
+    which in SPMD is simply "the shard holding global position 0"."""
+    from ..errors import AudioError, ErrorCode
+
+    _validate_2d(x, "sequence_sharded_preemphasis")
+    n_dev = mesh.shape[axis]
+    t = x.shape[-1]
+    if t % n_dev:
+        raise AudioError(
+            f"T = {t} must divide over {n_dev} devices",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+
+    def local(xl):
+        prev_last = jax.lax.ppermute(
+            xl[..., -1:], axis, perm=[(i, i + 1) for i in range(n_dev - 1)]
+        )
+        prev = jnp.concatenate([prev_last, xl[..., :-1]], axis=-1)
+        first_here = (jax.lax.axis_index(axis) == 0) & (
+            jax.lax.iota(jnp.int32, xl.shape[-1]) == 0
+        )
+        prev = jnp.where(first_here, xl, prev)
+        return xl - coeff * prev
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, axis))
+    return fn(jax.device_put(x, NamedSharding(mesh, P(None, axis))))
+
+
 def sequence_sharded_graph(graph, mesh: Mesh, axis: str = "data"):
     """Map a :class:`~audioflow_tpu.graph.Graph` node chain onto time-sharded
     execution (VERDICT r4 item 5 — the product surface over the
@@ -521,9 +554,13 @@ def sequence_sharded_graph(graph, mesh: Mesh, axis: str = "data"):
     ``CONFIG_VALIDATION_ERROR`` naming itself):
 
     * halo: ``Spectrogram`` / ``LogMelSpec`` (center=False — the sharded
-      frame grid cannot reflect-pad globally), ``Resample``, ``Fir``;
+      frame grid cannot reflect-pad globally), ``Resample``, ``Fir``,
+      ``Preemphasis`` (1-sample halo + the Kaldi position-0 convention on
+      the shard holding global sample 0);
     * carry composition: ``BiquadChain`` (affine state), ``Limiter`` /
       ``Compressor`` / ``NoiseGate`` (max-plus envelope);
+    * global statistics: ``Cmvn`` (per-utterance mean/var over the sharded
+      frame axis — GSPMD reduces it to one tiny all-reduce);
     * local: ``Gain``, ``Magnitude``, ``Power``, ``MelProject``, ``Mfcc``,
       ``QuantizeI16`` (sample/frame-local — GSPMD keeps them collective-
       free, asserted in tests);
@@ -537,9 +574,9 @@ def sequence_sharded_graph(graph, mesh: Mesh, axis: str = "data"):
     """
     from ..errors import AudioError, ErrorCode
     from ..graph.nodes import (
-        BiquadChain, Compressor, Fir, Gain, Limiter, LogMelSpec, Magnitude,
-        MelProject, Mfcc, NoiseGate, Power, QuantizeI16, Resample,
-        Spectrogram, Stft,
+        BiquadChain, Cmvn, Compressor, Fir, Gain, Limiter, LogMelSpec,
+        Magnitude, MelProject, Mfcc, NoiseGate, Power, Preemphasis,
+        QuantizeI16, Resample, Spectrogram, Stft,
     )
     from ..ops import dynamics as _dyn
     from ..ops import spectrogram as _spec_op
@@ -600,6 +637,18 @@ def sequence_sharded_graph(graph, mesh: Mesh, axis: str = "data"):
             stages.append(
                 lambda x, n=node: sequence_sharded_fir(x, mesh, n._h(), axis=axis)
             )
+        elif isinstance(node, Preemphasis):
+            stages.append(
+                lambda x, n=node: _sequence_sharded_preemphasis(
+                    x, mesh, n.coeff, axis
+                )
+            )
+        elif isinstance(node, Cmvn):
+            # per-utterance statistics over the SHARDED frame axis: apply
+            # directly — GSPMD turns the time mean/var into one tiny
+            # all-reduce of the per-shard sums (exact; the one legitimate
+            # all-reduce a time-sharded chain can carry)
+            stages.append(lambda x, n=node: n.apply(x))
         elif isinstance(node, BiquadChain):
             stages.append(
                 lambda x, n=node: sequence_sharded_iir(

@@ -650,3 +650,38 @@ def test_sequence_sharded_graph_unsupported_raises(rng):
         sequence_sharded_graph(chain(Spectrogram(512, 128, center=True), input_rate=16000), mesh)
     with pytest.raises(AudioError, match="unknown shard mode"):
         compile_sharded(chain(Spectrogram(512, 128, center=False), input_rate=16000), mesh, shard="nope")
+
+
+def test_sequence_sharded_graph_kaldi_fbank(rng):
+    """The full Kaldi fbank frontend (Preemphasis -> povey Spectrogram ->
+    HTK mel -> CMVN) time-sharded through compile_sharded(shard='time'):
+    Preemphasis rides a 1-sample halo with the position-0 convention on
+    shard 0, and CMVN's per-utterance statistics become one tiny
+    all-reduce. Equality is against the offline graph on the zero-padded
+    signal whose frame grid matches the SP zero-tail convention (then the
+    CMVN stats cover the identical frame set)."""
+    from audioflow_tpu.models import kaldi_fbank_frontend
+    from audioflow_tpu.parallel import compile_sharded, make_mesh
+
+    mesh = make_mesh(8)
+    t = 8 * 160 * 40
+    x = (0.3 * rng.standard_normal((2, t))).astype(np.float32)
+    # without CMVN: exact (to f32) on the fully-covered frames
+    g0 = kaldi_fbank_frontend(16000, n_mels=24, cmvn=False)
+    out0 = np.asarray(compile_sharded(g0, mesh, shard="time")(jnp.asarray(x)))
+    want0 = np.asarray(g0.chain(jnp.asarray(x)))
+    n = want0.shape[-2]  # offline has only the covered frames
+    np.testing.assert_allclose(out0[:, :n], want0, rtol=2e-4, atol=2e-4)
+    # with CMVN: the per-utterance stats become one all-reduce; the SP
+    # frame set adds ceil(n_fft/hop)-1 zero-tail frames, so the stats
+    # shift by O(tail/total) — bound it rather than demand equality
+    g1 = kaldi_fbank_frontend(16000, n_mels=24)
+    out1 = np.asarray(compile_sharded(g1, mesh, shard="time")(jnp.asarray(x)))
+    want1 = np.asarray(g1.chain(jnp.asarray(x)))
+    assert np.abs(out1[:, :n] - want1).max() < 0.1
+    hlo = compile_sharded(g1, mesh, shard="time").lower(
+        jnp.asarray(x)
+    ).compile().as_text().lower()
+    assert "all-reduce" in hlo  # the CMVN stats
+    assert "collective-permute" in hlo  # the preemphasis + frame halos
+    assert "all-gather" not in hlo
