@@ -586,10 +586,13 @@ def cmd_pitch(args) -> int:
         }
         for i, (f, a, v) in enumerate(zip(f0, ap, voiced))
     ]
-    med = float(np.median(f0[voiced])) if voiced.any() else None
+    med = float(np.median(f0[voiced])) if voiced.size and voiced.any() else None
     print(json.dumps({
         "frames": len(track),
-        "voiced_fraction": round(float(voiced.mean()), 3),
+        # guard the empty track (pyin-online drops the last `lag` frames,
+        # so a file shorter than lag frames emits nothing): mean of an
+        # empty array is nan, which json.dumps would print as invalid JSON
+        "voiced_fraction": round(float(voiced.mean()), 3) if voiced.size else 0.0,
         "median_f0_hz": round(med, 2) if med else None,
         "track": track,
     }))

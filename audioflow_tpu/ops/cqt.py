@@ -193,6 +193,11 @@ def cqt(
     if multirate:
         if not center:
             raise ValueError("cqt(multirate=True) supports center=True only")
+        if impl != "onedot":
+            raise ValueError(
+                "cqt(multirate=True) has its own per-octave implementation; "
+                f"impl={impl!r} does not apply"
+            )
         return cqt_multirate(
             x, sample_rate, hop, n_bins, fmin, bins_per_octave, window,
             filter_scale, output, precision,
@@ -402,6 +407,29 @@ def icqt(
                 f"icqt sample_rate {sample_rate} != the MultirateCqt's "
                 f"{c.meta.sample_rate} (the coefficients carry their own "
                 "analysis parameters; pass none)"
+            )
+        # the coefficients carry their parameters; explicitly-conflicting
+        # args are caller bugs (function defaults can't be told apart from
+        # explicit values, so only non-default conflicts are catchable)
+        mism = [
+            (name, got, want)
+            for name, got, want, dflt in (
+                ("hop", hop, c.meta.hop, 256),
+                ("n_bins", n_bins, c.meta.n_bins, 84),
+                ("fmin", fmin, c.meta.fmin, FMIN_C1),
+                ("bins_per_octave", bins_per_octave, c.meta.bins_per_octave, 12),
+                ("window", window, c.meta.window, "hann"),
+            )
+            if got != want and got != dflt
+        ]
+        if mism:
+            raise ValueError(
+                "icqt arguments conflict with the MultirateCqt's analysis "
+                f"parameters: {mism} (pass none — the pytree carries them)"
+            )
+        if method not in ("auto",):
+            raise ValueError(
+                f"icqt method={method!r} does not apply to MultirateCqt input"
             )
         return icqt_multirate(c, length=length, precision=precision)
     if sample_rate is None:
@@ -811,6 +839,7 @@ def multirate_hops(
     fmin: float = FMIN_C1,
     bins_per_octave: int = 12,
     filter_scale: float = 1.0,
+    top_divisor: int = 6,
 ) -> tuple[int, ...]:
     """Per-octave analysis hops of the multirate CQT: each octave's hop is
     the largest power-of-two division of ``hop`` inside that octave's
@@ -834,7 +863,7 @@ def multirate_hops(
     hops = []
     for o, lo in enumerate(range(0, n_bins, bins_per_octave)):
         hi = min(lo + bins_per_octave, n_bins)
-        div = 6 if o == n_oct - 1 else 3
+        div = top_divisor if o == n_oct - 1 else 3
         bound = max(1, int(lengths[lo:hi].min()) // div)
         h = hop
         while h > bound:
@@ -932,14 +961,10 @@ def _multirate_design(
     # that rescale over-regularizes the fmin band edge (bin 0 measured
     # 40.5 dB at the N/3-referenced floor vs 23.4 dB tracking the
     # tightened hop; scripts/proto_multirate_icqt.py study).
-    ref_hops = []
-    for lo in range(0, n_bins, bins_per_octave):
-        hi = min(lo + bins_per_octave, n_bins)
-        bound = max(1, int(lengths[lo:hi].min()) // 3)
-        h_ref = hop
-        while h_ref > bound:
-            h_ref //= 2
-        ref_hops.append(h_ref)
+    ref_hops = multirate_hops(
+        sample_rate, hop, n_bins, fmin, bins_per_octave, filter_scale,
+        top_divisor=3,
+    )
     w_pos = np.zeros(nd)
     w_ref = np.zeros(nd)
     phs = []
@@ -999,10 +1024,10 @@ class _MrMeta:
     """Hashable static metadata of a :class:`MultirateCqt` (pytree aux)."""
 
     __slots__ = ("sample_rate", "hop", "n_bins", "fmin", "bins_per_octave",
-                 "window", "filter_scale", "hops")
+                 "window", "filter_scale", "hops", "length")
 
     def __init__(self, sample_rate, hop, n_bins, fmin, bins_per_octave,
-                 window, filter_scale, hops):
+                 window, filter_scale, hops, length):
         self.sample_rate = sample_rate
         self.hop = hop
         self.n_bins = n_bins
@@ -1011,10 +1036,12 @@ class _MrMeta:
         self.window = window
         self.filter_scale = filter_scale
         self.hops = tuple(hops)
+        self.length = length  # the forward's input sample count (static)
 
     def _key(self):
         return (self.sample_rate, self.hop, self.n_bins, self.fmin,
-                self.bins_per_octave, self.window, self.filter_scale, self.hops)
+                self.bins_per_octave, self.window, self.filter_scale,
+                self.hops, self.length)
 
     def __eq__(self, other):
         return isinstance(other, _MrMeta) and self._key() == other._key()
@@ -1124,7 +1151,7 @@ def cqt_multirate(
             outs.append(jnp.sqrt(p) if output == "magnitude" else p)
     meta = _MrMeta(
         sample_rate, hop, n_bins, fmin, bins_per_octave, window, filter_scale,
-        dz["hops"],
+        dz["hops"], t,
     )
     return MultirateCqt(outs, meta)
 
@@ -1141,8 +1168,9 @@ def icqt_multirate(
     harmonic complexes, and bin-center tones at the framework default
     where the fixed-hop hybrid only reconstructs tones).
 
-    ``length`` defaults to ``(T_top - 1) * hops[-1]`` (the forward's exact
-    input length). Edge transients span ``nd/2`` samples each side.
+    ``length`` defaults to the forward's exact input sample count (carried
+    in the pytree's static meta). Edge transients span ``nd/2`` samples
+    each side.
     """
     from ._mm import _PRECISIONS
 
@@ -1163,7 +1191,7 @@ def icqt_multirate(
     )
     prec = _PRECISIONS[precision or DFT_PRECISION_DEFAULT]
     if length is None:
-        length = (c.octaves[-1].shape[-2] - 1) * m.hops[-1]
+        length = m.length
     y = None
     for (h, _flen, _bank), (_lo0, dual, kern), co in zip(
         dz["octs"], dz["duals"], c.octaves

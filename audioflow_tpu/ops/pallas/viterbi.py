@@ -26,7 +26,8 @@ Kernel design (one ``pallas_call``, grid = frames, sequential):
   the XLA ``vit_step`` literally — same strict-compare tie conventions,
   so the decode is bit-identical (verified exact on CPU interpret and
   gated by pyin_220_rel + the serial float64 oracle);
-* per-step backpointers are written as int8 offset (0..2*half) + int8
+* per-step backpointers are written as int8 CENTERED offset (off -
+  half) + int8
   source-track flag ``[F, 2B, W]``; the caller slices valid lanes/rows and
   runs the UNCHANGED width-1 backtrace (the delta-emitting recompute
   variant was measured and rejected round 4 — serial window gathers).
@@ -51,8 +52,12 @@ if PALLAS_OK:
     from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
-#: unroll budget: kernels wider than this blow up Mosaic compile time
-_MAX_KERNEL_TAPS = 512
+#: unroll budget AND the int8 backpointer range: offsets are stored
+#: CENTERED (off - half, in [-half, half]) so they fit int8 exactly for
+#: kernels up to 255 taps — the uncentered form overflowed at the
+#: library-default 139 taps (offset 130 wrapped to -126; caught by the r5
+#: code review's repro)
+_MAX_KERNEL_TAPS = 255
 
 
 def supported(n_bins: int, kernel_len: int) -> bool:
@@ -105,7 +110,10 @@ def _kernel(
         new_u = obs[b:] + jnp.where(pick_u, su2, sv2)
         off_u = jnp.where(pick_u, au, av)
         d_scr[...] = jnp.concatenate([new_v, new_u], axis=0)
-        off_ref[0] = jnp.concatenate([off_v, off_u], axis=0).astype(jnp.int8)
+        # centered offsets (off - half) fit int8 for any supported kernel
+        off_ref[0] = (
+            jnp.concatenate([off_v, off_u], axis=0) - half
+        ).astype(jnp.int8)
         pick_ref[0] = jnp.concatenate(
             [pick_v, pick_u], axis=0
         ).astype(jnp.int8)
@@ -125,10 +133,12 @@ def pyin_viterbi_forward(
     """Fused forward pass. ``log_obs_v/u`` are ``[F, B, n_bins]`` (B may be
     1 for a single signal). Returns ``(dv, du, off, pick)``: final messages
     ``[B, n_bins]`` each, and per-step backpointers ``off`` int8 /
-    ``pick`` int8 ``[F, 2, B, n_bins]`` (track axis: 0 voiced, 1 unvoiced)
-    whose rows ``1:`` feed the standard backtrace (row 0 is the init step —
-    no transition, all zeros; ``pick`` means "source is the unvoiced
-    track", matching the XLA emissions).
+    ``pick`` int8 ``[F, 2, B, n_bins]`` (track axis: 0 voiced, 1 unvoiced).
+    ``off`` is the CENTERED kernel offset (true offset minus half — int8-
+    safe for any supported kernel width; the caller adds half back) and
+    ``pick`` means "source is the unvoiced track", matching the XLA
+    emissions; rows ``1:`` feed the standard backtrace (row 0 is the init
+    step — no transition, all zeros).
     """
     f, batch, n_bins = log_obs_v.shape
     lk = np.asarray(log_kernel, np.float64).astype(np.float32)

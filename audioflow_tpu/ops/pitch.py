@@ -481,9 +481,10 @@ def pyin_frames(
         )
         if unbatched:
             dv, du, off8, pick8 = dv[0], du[0], off8[:, :, 0], pick8[:, :, 0]
+        # kernel offsets come back CENTERED (int8-safe); restore 0..2*half
         bps = (
-            off8[1:, 0].astype(jnp.int32), pick8[1:, 0].astype(bool),
-            off8[1:, 1].astype(jnp.int32), pick8[1:, 1].astype(bool),
+            off8[1:, 0].astype(jnp.int32) + half, pick8[1:, 0].astype(bool),
+            off8[1:, 1].astype(jnp.int32) + half, pick8[1:, 1].astype(bool),
         )
     else:
         dv0 = log_init + ov[0]

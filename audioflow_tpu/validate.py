@@ -250,9 +250,9 @@ def run_validation(seed: int = 0) -> dict:
     # bins — the hop-alias-colliding bottom pair (0, 1), a mid painless bin
     # (21), the full crossfade band (41-44), a mid sin-branch bin (63), and
     # the top edge pair (82, 83). The full 84-bin sweep's raw SNRs are the
-    # committed artifact bench_records/chip_r4_icqt_sweep (generated by
-    # scripts/chip_r4_icqt_sweep.py); this row samples every failure mode of
-    # it. Same negated convention, budget -30 (>= 30 dB); f64 prototype
+    # committed artifact bench_records/chip_r5_icqt_sweep.jsonl (generated
+    # by scripts/chip_r5_icqt_sweep.py); this row samples every failure
+    # mode of it. Same negated convention, budget -30 (>= 30 dB); f64 prototype
     # measured >= ~36 dB worst. NOTE this row measures the hybrid's BEST
     # CASE (bin-center tones) by design; its broadband envelope is the two
     # rows below.

@@ -277,6 +277,17 @@ def test_cli_pitch(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["track"][0]["t"] == round(2048 / (2 * 16000), 4)
     assert abs(out["median_f0_hz"] - 220.0) < 3.0
+    # short file, lag > frames: the trimmed track is empty — the output
+    # must still be VALID json (an empty-array mean is nan; r5 review)
+    ps = tmp_path / "short.wav"
+    write_wav(ps, (0.1 * np.sin(2 * np.pi * 220.0 * np.arange(4000) / 16000)
+                   ).astype(np.float32), 16000)
+    assert cli_main(
+        ["pitch", "-i", str(ps), "--method", "pyin-online", "--lag", "40",
+         "--fmin", "80", "--fmax", "1200"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out)  # parses -> no NaN token
+    assert out["frames"] == 0 and out["voiced_fraction"] == 0.0
 
 
 def test_new_pipeline_constructors(rng, tmp_path, capsys):

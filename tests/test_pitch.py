@@ -413,9 +413,10 @@ def test_pyin_pallas_viterbi_exact(rng):
     """The fused Pallas Viterbi forward (ops/pallas/viterbi.py, interpret
     mode on CPU) decodes BIT-IDENTICALLY to the XLA scan — band, track
     merge, and tie conventions transcribed exactly — for unbatched and
-    batched frames. On TPU the auto path dispatches to it (the defaults
-    tracker's scan stage is dispatch-bound; measured on chip,
-    BENCHMARKS.md)."""
+    batched frames. NOTE auto never dispatches to it: the kernel measured
+    slower than the scan on chip (register spills; the honest dead-end
+    record is in _resolve_viterbi_impl + docs/ROADMAP.md) — it ships as a
+    forced mode only, and this test keeps its exactness claim true."""
     sr = 16000
     t = np.arange(16000) / sr
     x = (0.5 * np.sin(2 * np.pi * (220 + 8 * np.sin(2 * np.pi * 3 * t)) * t)).astype(
@@ -430,6 +431,17 @@ def test_pyin_pallas_viterbi_exact(rng):
                      n_thresholds=32, viterbi_impl="pallas")
         for name, av, bv in zip(("f0", "vflag", "vprob"), a, b):
             np.testing.assert_array_equal(np.asarray(av), np.asarray(bv), err_msg=name)
+    # the library-default resolution (0.1 st -> 139-tap kernel): offsets
+    # > 127 exist, which overflowed the uncentered int8 backpointers (r5
+    # review repro); centered storage keeps the decode exact. Short signal
+    # keeps interpret-mode cost down.
+    xs = x[:4096]
+    a = ops.pyin(jnp.asarray(xs), sr, 80, 1200, resolution=0.1,
+                 n_thresholds=16, viterbi_impl="xla")
+    b = ops.pyin(jnp.asarray(xs), sr, 80, 1200, resolution=0.1,
+                 n_thresholds=16, viterbi_impl="pallas")
+    for name, av, bv in zip(("f0", "vflag", "vprob"), a, b):
+        np.testing.assert_array_equal(np.asarray(av), np.asarray(bv), err_msg=name)
 
 
 def test_pyin_viterbi_impl_validation():
