@@ -539,6 +539,65 @@ def _sequence_sharded_preemphasis(
     return fn(jax.device_put(x, NamedSharding(mesh, P(None, axis))))
 
 
+def _sequence_sharded_deltas(
+    x: jnp.ndarray, mesh: Mesh, width: int, axis: str
+):
+    """Time-sharded first-order delta features over ``x [B, T, F]`` with the
+    FRAME axis sharded: fetch ``width // 2`` frames from BOTH neighbors
+    (two ppermutes), run the offline op on the extended block, slice the
+    shard's own frames. The global edge shards replace ppermute's zero
+    fill with their own first/last frame repeated — exactly the offline
+    op's edge replication, so the result equals unsharded
+    :func:`~audioflow_tpu.ops.add_deltas` end to end (orders=(1,); higher
+    orders replicate the INTERMEDIATE delta sequence at the global edges,
+    which a finite halo cannot reproduce — the same reason they have no
+    streaming form, graph/nodes.py::Deltas)."""
+    from ..errors import AudioError, ErrorCode
+    from ..ops import add_deltas
+
+    if x.ndim != 3:
+        raise AudioError(
+            f"sequence_sharded_deltas takes [batch, frames, bins], got {x.shape}",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+    n_dev = mesh.shape[axis]
+    t = x.shape[-2]
+    n_side = width // 2
+    if t % n_dev:
+        raise AudioError(
+            f"frames = {t} must divide over {n_dev} devices",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+    if t // n_dev < n_side:
+        raise AudioError(
+            f"local shard {t // n_dev} frames < halo {n_side}; use fewer "
+            f"devices or longer input",
+            code=ErrorCode.SHAPE_MISMATCH,
+        )
+
+    def local(xl):
+        idx = jax.lax.axis_index(axis)
+        left = jax.lax.ppermute(
+            xl[:, -n_side:], axis, perm=[(i, i + 1) for i in range(n_dev - 1)]
+        )
+        right = jax.lax.ppermute(
+            xl[:, :n_side], axis, perm=[(i + 1, i) for i in range(n_dev - 1)]
+        )
+        rep_first = jnp.repeat(xl[:, :1], n_side, axis=1)
+        rep_last = jnp.repeat(xl[:, -1:], n_side, axis=1)
+        left = jnp.where(idx == 0, rep_first, left)
+        right = jnp.where(idx == n_dev - 1, rep_last, right)
+        xe = jnp.concatenate([left, xl, right], axis=1)
+        out = add_deltas(xe, width, (1,))
+        return out[:, n_side : n_side + xl.shape[1]]
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=P(None, axis, None),
+        out_specs=P(None, axis, None),
+    )
+    return fn(jax.device_put(x, NamedSharding(mesh, P(None, axis, None))))
+
+
 def sequence_sharded_graph(graph, mesh: Mesh, axis: str = "data"):
     """Map a :class:`~audioflow_tpu.graph.Graph` node chain onto time-sharded
     execution (VERDICT r4 item 5 — the product surface over the
@@ -561,6 +620,8 @@ def sequence_sharded_graph(graph, mesh: Mesh, axis: str = "data"):
       ``Compressor`` / ``NoiseGate`` (max-plus envelope);
     * global statistics: ``Cmvn`` (per-utterance mean/var over the sharded
       frame axis — GSPMD reduces it to one tiny all-reduce);
+    * frame halo: ``Deltas`` (orders=(1,) — width//2 frames from both
+      neighbors, global-edge replication on the end shards);
     * local: ``Gain``, ``Magnitude``, ``Power``, ``MelProject``, ``Mfcc``,
       ``QuantizeI16`` (sample/frame-local — GSPMD keeps them collective-
       free, asserted in tests);
@@ -574,9 +635,9 @@ def sequence_sharded_graph(graph, mesh: Mesh, axis: str = "data"):
     """
     from ..errors import AudioError, ErrorCode
     from ..graph.nodes import (
-        BiquadChain, Cmvn, Compressor, Fir, Gain, Limiter, LogMelSpec,
-        Magnitude, MelProject, Mfcc, NoiseGate, Power, Preemphasis,
-        QuantizeI16, Resample, Spectrogram, Stft,
+        BiquadChain, Cmvn, Compressor, Deltas, Fir, Gain, Limiter,
+        LogMelSpec, Magnitude, MelProject, Mfcc, NoiseGate, Power,
+        Preemphasis, QuantizeI16, Resample, Spectrogram, Stft,
     )
     from ..ops import dynamics as _dyn
     from ..ops import spectrogram as _spec_op
@@ -641,6 +702,20 @@ def sequence_sharded_graph(graph, mesh: Mesh, axis: str = "data"):
             stages.append(
                 lambda x, n=node: _sequence_sharded_preemphasis(
                     x, mesh, n.coeff, axis
+                )
+            )
+        elif isinstance(node, Deltas):
+            if tuple(node.orders) != (1,):
+                raise AudioError(
+                    f"{name}: time sharding supports orders=(1,) only "
+                    "(higher orders edge-replicate the intermediate delta "
+                    "sequence at the global edges, which a finite halo "
+                    "cannot reproduce — same limit as streaming)",
+                    code=ErrorCode.CONFIG_VALIDATION_ERROR,
+                )
+            stages.append(
+                lambda x, n=node: _sequence_sharded_deltas(
+                    x, mesh, n.width, axis
                 )
             )
         elif isinstance(node, Cmvn):

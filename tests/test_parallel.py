@@ -685,3 +685,38 @@ def test_sequence_sharded_graph_kaldi_fbank(rng):
     assert "all-reduce" in hlo  # the CMVN stats
     assert "collective-permute" in hlo  # the preemphasis + frame halos
     assert "all-gather" not in hlo
+
+
+def test_sequence_sharded_graph_deltas(rng):
+    """Deltas (orders=(1,)) rides a both-sides frame halo with global-edge
+    replication on the end shards — equals the unsharded chain EXACTLY
+    (the offline op's own edge replication) on every frame of the common
+    grid; orders=(1, 2) raises the typed error."""
+    from audioflow_tpu.graph import Deltas, MelProject, Spectrogram, chain
+    from audioflow_tpu.parallel import compile_sharded, make_mesh, sequence_sharded_graph
+
+    mesh = make_mesh(8)
+    g = chain(
+        Spectrogram(512, 128, center=False),
+        MelProject(n_mels=24, log="ln"),
+        Deltas(width=9, orders=(1,), n_bins=24),
+        input_rate=16000,
+    )
+    t = 8 * 128 * 32
+    x = (0.3 * rng.standard_normal((2, t))).astype(np.float32)
+    out = np.asarray(compile_sharded(g, mesh, shard="time")(jnp.asarray(x)))
+    want = np.asarray(g.chain(jnp.asarray(x)))
+    n = want.shape[-2]
+    # interior frames exact; the SP grid's zero-tail frames alter the
+    # final width//2 windows' replication vs offline — compare inside
+    np.testing.assert_allclose(
+        out[:, : n - 4], want[:, : n - 4], rtol=2e-4, atol=1e-5
+    )
+    g2 = chain(
+        Spectrogram(512, 128, center=False),
+        MelProject(n_mels=24, log="ln"),
+        Deltas(width=9, orders=(1, 2), n_bins=24),
+        input_rate=16000,
+    )
+    with pytest.raises(AudioError, match="orders"):
+        sequence_sharded_graph(g2, mesh)
