@@ -64,6 +64,28 @@ def test_example_scripts_run(tmp_path):
     assert r3.returncode == 0, r3.stderr[-500:]
     rep = json.loads((tmp_path / "kws.json").read_text())
     assert rep["train_accuracy"] > 0.9 and rep["loss_last"] < rep["loss_first"]
+    # cqt_edit: CQT-domain high-pass through the invertible multirate
+    # transform — a two-tone file keeps the high tone, loses the low one
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    two = (0.4 * np.sin(2 * np.pi * 220.0 * t)
+           + 0.4 * np.sin(2 * np.pi * 880.0 * t)).astype(np.float32)
+    write_wav(tmp_path / "two.wav", two, sr)
+    r4 = subprocess.run(
+        [sys.executable, "examples/cqt_edit.py", str(tmp_path / "two.wav"),
+         str(tmp_path / "hp.wav"), "440"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=300,
+    )
+    assert r4.returncode == 0, r4.stderr[-500:]
+    from audioflow_tpu.io import read_audio
+
+    y, _ = read_audio(str(tmp_path / "hp.wav"))
+    mid = y[8000:-8000]
+    spec = np.abs(np.fft.rfft(mid))
+    fr = np.fft.rfftfreq(len(mid), 1 / sr)
+    a220 = spec[np.argmin(np.abs(fr - 220))]
+    a880 = spec[np.argmin(np.abs(fr - 880))]
+    assert a880 > 30 * a220, (a220, a880)
 
 
 @pytest.mark.parametrize("seed", range(6))
